@@ -11,12 +11,21 @@ Must set env vars before jax is imported anywhere.
 import os
 import pathlib
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# Force-set: the environment may pin JAX_PLATFORMS to a TPU plugin (e.g. the
+# axon relay, which holds an exclusive claim on the single chip — letting the
+# test suite touch it would serialize test runs behind any other TPU user).
+os.environ["JAX_PLATFORMS"] = "cpu"
 xla_flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in xla_flags:
     os.environ["XLA_FLAGS"] = (
         xla_flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax
+
+# A TPU plugin registered at interpreter start (sitecustomize) may have set
+# the platform config directly; override it before any backend initializes.
+jax.config.update("jax_platforms", "cpu")
 
 import pytest
 
