@@ -6,6 +6,13 @@ Rust reference library salzweg (redwarp/lzw): GIF-style, TIFF-style and fixed
 across TPU chips and hosts that the single-threaded reference never had.
 """
 
+from lzw_tpu.api import (
+    FixedCodec,
+    GifCodec,
+    LzwCodec,
+    TiffCodec,
+    VariableCodec,
+)
 from lzw_tpu.spec import (
     CodeSizeError,
     CodeSizeStrategy,
@@ -22,6 +29,11 @@ from lzw_tpu.spec import (
 __version__ = "0.1.0"
 
 __all__ = [
+    "FixedCodec",
+    "GifCodec",
+    "LzwCodec",
+    "TiffCodec",
+    "VariableCodec",
     "CodeSizeError",
     "CodeSizeStrategy",
     "DecodingError",

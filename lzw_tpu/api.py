@@ -1,0 +1,187 @@
+"""Public codec facades.
+
+Mirrors the reference's four facade types and their byte-level contracts:
+
+* :class:`GifCodec`      — `encoder.rs:349-440` / `decoder.rs:293-383`
+* :class:`TiffCodec`     — `encoder.rs:442-524` / `decoder.rs:385-465`
+* :class:`FixedCodec`    — `encoder.rs:526-659` / `decoder.rs:467-643`
+* :class:`VariableCodec` — `encoder.rs:151-347` / `decoder.rs:52-291`
+
+Each facade produces/consumes the *raw single-stream* wire format —
+byte-identical to the reference.  For block-parallel, multi-chip operation see
+:mod:`lzw_tpu.parallel` (a framing container, new to this framework).
+
+Design notes (TPU-first):
+
+* Inputs are padded to power-of-two buckets so each distinct wire format
+  compiles a handful of programs total, then serves any input size.
+* ``backend="jax"`` (default) drives the jittable codecs; ``backend="oracle"``
+  runs the scalar reference oracle (useful for debugging and differential
+  tests).  Results are identical.
+"""
+
+from __future__ import annotations
+
+import io
+from typing import BinaryIO
+
+import numpy as np
+
+from lzw_tpu.ops import bitpack, decode as _decode, encode as _encode
+from lzw_tpu.ops import reference as _oracle
+from lzw_tpu.spec import (
+    CodeSizeStrategy,
+    Endianness,
+    LzwSpec,
+    MissingClearCodeError,
+    TruncatedStreamError,
+    UnexpectedCodeError,
+)
+
+__all__ = ["LzwCodec", "GifCodec", "TiffCodec", "FixedCodec", "VariableCodec"]
+
+
+def _bucket(n: int, lo: int = 256) -> int:
+    """Smallest power-of-two >= n (>= lo) — bounds jit recompiles."""
+    b = lo
+    while b < n:
+        b <<= 1
+    return b
+
+
+class LzwCodec:
+    """Encode/decode one LZW wire format described by an :class:`LzwSpec`."""
+
+    def __init__(self, spec: LzwSpec, backend: str = "jax"):
+        if backend not in ("jax", "oracle"):
+            raise ValueError(f"unknown backend {backend!r}")
+        spec.validate()
+        self.spec = spec
+        self.backend = backend
+
+    # ---- bytes API -----------------------------------------------------------
+
+    def encode(self, data: bytes | bytearray | memoryview | np.ndarray) -> bytes:
+        """Compress ``data`` to the raw reference-compatible stream."""
+        data = _as_bytes(data)
+        if self.backend == "oracle":
+            return _oracle.encode_bytes(data, self.spec)
+        return self._encode_jax(data)
+
+    def decode(self, data: bytes | bytearray | memoryview | np.ndarray) -> bytes:
+        """Decompress a raw stream produced by :meth:`encode` (or salzweg)."""
+        data = _as_bytes(data)
+        if self.backend == "oracle":
+            return _oracle.decode_bytes(data, self.spec)
+        return self._decode_jax(data)
+
+    # ---- stream API (reference's Read -> Write shape) ------------------------
+
+    def encode_stream(self, src: BinaryIO, dst: BinaryIO) -> int:
+        """Compress all of ``src`` into ``dst``; returns bytes written."""
+        out = self.encode(src.read())
+        dst.write(out)
+        return len(out)
+
+    def decode_stream(self, src: BinaryIO, dst: BinaryIO) -> int:
+        """Decompress all of ``src`` into ``dst``; returns bytes written."""
+        out = self.decode(src.read())
+        dst.write(out)
+        return len(out)
+
+    # ---- jax paths -----------------------------------------------------------
+
+    def _encode_jax(self, data: bytes) -> bytes:
+        import jax.numpy as jnp
+
+        B = _bucket(max(1, len(data)))
+        block = np.zeros(B, np.uint8)
+        block[: len(data)] = np.frombuffer(data, np.uint8)
+        res = _encode.encode_block(jnp.asarray(block), jnp.int32(len(data)), self.spec)
+        err = int(res["error"])
+        if err == _encode.ERR_UNEXPECTED_CODE:
+            raise UnexpectedCodeError(int(res["error_code"]), self.spec.code_size)
+        buf, n = bitpack.pack_codes_jax(
+            res["codes"], res["widths"], self.spec.endianness,
+            out_bytes=_encode.packed_bound(B, self.spec),
+        )
+        return bytes(np.asarray(buf)[: int(n)])
+
+    def _decode_jax(self, data: bytes) -> bytes:
+        import jax.numpy as jnp
+
+        M = _bucket(max(1, len(data)))
+        buf = np.zeros(M, np.uint8)
+        buf[: len(data)] = np.frombuffer(data, np.uint8)
+        dev = jnp.asarray(buf)
+        p1 = _decode.decode_pass1(dev, jnp.int32(len(data)), self.spec)
+        total = int(p1["total_len"])
+        out_bound = _bucket(max(1, total))
+        out, err_word_step, err_code2 = _decode.decode_pass2(
+            p1["gprefix"], p1["gsuffix"], p1["glocal"], p1["out_g"],
+            p1["out_len"], p1["out_off"], p1["out_lit"], out_bound,
+            self.spec.alphabet_size,
+        )
+        self._raise_decode_error(
+            int(p1["error"]), int(p1["error_code"]), int(p1["n_words"]),
+            int(err_word_step), int(err_code2),
+        )
+        return bytes(np.asarray(out)[:total])
+
+    @staticmethod
+    def _raise_decode_error(
+        err: int, err_code: int, n_words: int, err_word_step: int, err_code2: int
+    ) -> None:
+        big = 2**31 - 1
+        p1_step = (n_words - 1) if err != _decode.ERR_NONE else big
+        if err_word_step < p1_step:
+            raise UnexpectedCodeError(err_code2)
+        if err == _decode.ERR_UNEXPECTED_CODE:
+            raise UnexpectedCodeError(err_code)
+        if err == _decode.ERR_MISSING_CLEAR:
+            raise MissingClearCodeError()
+        if err == _decode.ERR_TRUNCATED:
+            raise TruncatedStreamError()
+
+
+class GifCodec(LzwCodec):
+    """GIF-style LZW: caller code size 2..=8, LSB-first, default strategy."""
+
+    def __init__(self, code_size: int, backend: str = "jax"):
+        super().__init__(LzwSpec.gif(code_size), backend)
+
+
+class TiffCodec(LzwCodec):
+    """TIFF-style LZW: code size 8, MSB-first, early-change widths."""
+
+    def __init__(self, backend: str = "jax"):
+        super().__init__(LzwSpec.tiff(), backend)
+
+
+class FixedCodec(LzwCodec):
+    """Original fixed 12-bit LZW: byte alphabet, no control codes."""
+
+    def __init__(self, endianness: Endianness = Endianness.LITTLE,
+                 backend: str = "jax"):
+        super().__init__(LzwSpec.fixed(endianness), backend)
+
+
+class VariableCodec(LzwCodec):
+    """Generic variable-width LZW with explicit parameters."""
+
+    def __init__(
+        self,
+        code_size: int,
+        endianness: Endianness,
+        strategy: CodeSizeStrategy = CodeSizeStrategy.DEFAULT,
+        backend: str = "jax",
+    ):
+        super().__init__(LzwSpec.variable(code_size, endianness, strategy), backend)
+
+
+def _as_bytes(data) -> bytes:
+    if isinstance(data, np.ndarray):
+        if data.dtype != np.uint8:
+            raise TypeError(f"expected uint8 array, got {data.dtype}")
+        return data.tobytes()
+    return bytes(data)
