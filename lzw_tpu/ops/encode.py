@@ -70,8 +70,13 @@ def _hash(key, hash_bits: int):
     return (h >> jnp.uint32(32 - hash_bits)).astype(jnp.int32)
 
 
-@functools.partial(jax.jit, static_argnames=("spec", "hash_bits"))
-def encode_block(block, n_valid, spec: LzwSpec, hash_bits: int = 13):
+@functools.partial(
+    jax.jit, static_argnames=("spec", "hash_bits", "fix_eoi_width")
+)
+def encode_block(
+    block, n_valid, spec: LzwSpec, hash_bits: int = 13,
+    fix_eoi_width: bool = False,
+):
     """Encode one block of bytes into (code, width) slots.
 
     Args:
@@ -79,6 +84,12 @@ def encode_block(block, n_valid, spec: LzwSpec, hash_bits: int = 13):
       n_valid: i32 scalar, number of valid leading bytes.
       spec:    static wire-format description.
       hash_bits: static log2 of the dictionary hash-table size.
+      fix_eoi_width: when True, widen the trailing EOI code by one bit if the
+        decoder-side width bump lands exactly on the final data code — the
+        reference's own decoder misreads such streams (see
+        ``lzw_tpu.ops.reference.eoi_width_quirk``).  False (default) is
+        bit-exact with the reference; the block container enables the fix so
+        every block is guaranteed decodable.
 
     Returns dict with:
       codes:  i32[S] code values (S = encoder_output_slots(B)).
@@ -181,11 +192,20 @@ def encode_block(block, n_valid, spec: LzwSpec, hash_bits: int = 13):
     nonempty = n_valid > 0
     ok = err == ERR_NONE
     if variable:
+        (_, _, _, _, _, next_index, _, _, _, _) = state
+        eoi_width = width
+        if fix_eoi_width:
+            quirk = (
+                nonempty
+                & (next_index == threshold_of(width))
+                & (width < MAX_WIDTH)
+            )
+            eoi_width = jnp.where(quirk, width + 1, width)
         head_codes = jnp.array([spec.clear_code], jnp.int32)
         head_widths = jnp.where(ok, init_width, 0)[None]
         tail_codes = jnp.array([0, spec.end_code], jnp.int32).at[0].set(prefix)
         tail_widths = jnp.stack(
-            [jnp.where(ok & nonempty, width, 0), jnp.where(ok, width, 0)]
+            [jnp.where(ok & nonempty, width, 0), jnp.where(ok, eoi_width, 0)]
         )
         codes = jnp.concatenate([head_codes, body_codes, tail_codes])
         widths = jnp.concatenate([head_widths, body_widths, tail_widths])

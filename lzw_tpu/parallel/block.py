@@ -1,0 +1,203 @@
+"""Block-parallel LZW over a TPU device mesh.
+
+The reference is single-threaded by construction (`SURVEY.md` §2.4): LZW's
+dictionary state chains every byte to every previous byte.  This module breaks
+the chain at block boundaries — semantically identical to the reference's own
+dictionary resets (`encoder.rs:330-333`) — and shards blocks data-parallel
+over a `jax.sharding.Mesh` with `shard_map`, gathering compressed payloads in
+submission order into the LZWT container (`lzw_tpu.parallel.framing`).
+
+All device work is batched and statically shaped: blocks are padded to the
+block size, the batch is padded to a multiple of the mesh size, and compressed
+payloads live in a [N, packed_bound] matrix with a length vector — the
+standard XLA answer to ragged outputs.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import Mesh, PartitionSpec as P
+
+try:  # jax >= 0.4.35 exposes shard_map at top level
+    from jax import shard_map as _shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map as _shard_map
+
+from lzw_tpu.ops import bitpack, decode as _decode, encode as _encode
+from lzw_tpu.parallel import framing
+from lzw_tpu.spec import (
+    LzwSpec,
+    MissingClearCodeError,
+    TruncatedStreamError,
+    UnexpectedCodeError,
+)
+
+__all__ = ["BlockParallelCodec", "default_mesh"]
+
+DEFAULT_BLOCK_SIZE = 1 << 16
+
+
+def default_mesh(axis: str = "data") -> Mesh:
+    """All local devices on one data-parallel axis."""
+    return Mesh(np.array(jax.devices()), (axis,))
+
+
+class BlockParallelCodec:
+    """Container-format codec sharding independent blocks over a mesh.
+
+    Compressed-size budget: each block restarts the dictionary, so block-mode
+    output is bounded by the reference's single-stream output plus one
+    restart's worth of ramp-up per block plus the container framing — the
+    budget called out in `SURVEY.md` §2.4.
+    """
+
+    def __init__(
+        self,
+        spec: LzwSpec,
+        block_size: int = DEFAULT_BLOCK_SIZE,
+        mesh: Mesh | None = None,
+        axis: str = "data",
+    ):
+        spec.validate()
+        if block_size <= 0:
+            raise ValueError("block_size must be positive")
+        self.spec = spec
+        self.block_size = block_size
+        self.axis = axis
+        self.mesh = mesh if mesh is not None else default_mesh(axis)
+        self._packed_bound = _encode.packed_bound(block_size, spec)
+
+        ax = self.axis
+
+        def encode_one(block, n_valid):
+            res = _encode.encode_block(
+                block, n_valid, self.spec, fix_eoi_width=True
+            )
+            buf, n_bytes = bitpack.pack_codes_jax(
+                res["codes"], res["widths"], self.spec.endianness,
+                out_bytes=self._packed_bound,
+            )
+            return buf, n_bytes, res["error"], res["error_code"]
+
+        def decode_one(comp, n_valid):
+            res = _decode.decode_block(
+                comp, n_valid, self.spec, out_bound=self.block_size
+            )
+            return (res["out"], res["total_len"], res["error"],
+                    res["error_code"])
+
+        # check_vma=False: the codec scan carries start as replicated
+        # constants (zeros) and become device-varying; this is pure data
+        # parallelism with no cross-device communication, so the varying-
+        # manual-axes check is safely skipped.
+        self._encode_batch = jax.jit(
+            _shard_map(
+                jax.vmap(encode_one),
+                mesh=self.mesh,
+                in_specs=(P(ax), P(ax)),
+                out_specs=(P(ax), P(ax), P(ax), P(ax)),
+                check_vma=False,
+            )
+        )
+        self._decode_batch = jax.jit(
+            _shard_map(
+                jax.vmap(decode_one),
+                mesh=self.mesh,
+                in_specs=(P(ax), P(ax)),
+                out_specs=(P(ax), P(ax), P(ax), P(ax)),
+                check_vma=False,
+            )
+        )
+
+    # ---- public API ----------------------------------------------------------
+
+    def encode(self, data: bytes) -> bytes:
+        """Compress to the LZWT container."""
+        data = bytes(data)
+        n_blocks = math.ceil(len(data) / self.block_size) if data else 0
+        if n_blocks == 0:
+            return framing.pack_frame(self.spec, self.block_size, 0, [])
+
+        N = self._pad_rows(n_blocks)
+        blocks = np.zeros((N, self.block_size), np.uint8)
+        lens = np.zeros(N, np.int32)
+        arr = np.frombuffer(data, np.uint8)
+        for i in range(n_blocks):
+            chunk = arr[i * self.block_size : (i + 1) * self.block_size]
+            blocks[i, : len(chunk)] = chunk
+            lens[i] = len(chunk)
+
+        bufs, n_bytes, errs, err_codes = self._encode_batch(
+            jnp.asarray(blocks), jnp.asarray(lens)
+        )
+        errs = np.asarray(errs)[:n_blocks]
+        if errs.any():
+            i = int(np.argmax(errs != 0))
+            raise UnexpectedCodeError(
+                int(np.asarray(err_codes)[i]), self.spec.code_size
+            )
+        bufs = np.asarray(bufs)
+        n_bytes = np.asarray(n_bytes)
+        payloads = [bufs[i, : n_bytes[i]].tobytes() for i in range(n_blocks)]
+        return framing.pack_frame(self.spec, self.block_size, len(data), payloads)
+
+    def decode(self, container: bytes) -> bytes:
+        """Decompress an LZWT container (order-preserving gather)."""
+        header, payloads = framing.parse_frame(bytes(container))
+        if header.spec != self.spec:
+            raise framing.FramingError(
+                f"container spec {header.spec} != codec spec {self.spec}"
+            )
+        if header.n_blocks == 0:
+            return b""
+
+        N = self._pad_rows(header.n_blocks)
+        comp_bound = max(self._packed_bound, max(len(p) for p in payloads))
+        comp = np.zeros((N, comp_bound), np.uint8)
+        clens = np.zeros(N, np.int32)
+        for i, p in enumerate(payloads):
+            comp[i, : len(p)] = np.frombuffer(p, np.uint8)
+            clens[i] = len(p)
+
+        outs, tlens, errs, err_codes = self._decode_batch(
+            jnp.asarray(comp), jnp.asarray(clens)
+        )
+        errs = np.asarray(errs)[: header.n_blocks]
+        if errs.any():
+            i = int(np.argmax(errs != 0))
+            self._raise_decode(int(errs[i]), int(np.asarray(err_codes)[i]))
+        outs = np.asarray(outs)
+        tlens = np.asarray(tlens)
+        parts = [outs[i, : tlens[i]].tobytes() for i in range(header.n_blocks)]
+        out = b"".join(parts)
+        if len(out) != header.orig_size:
+            raise framing.FramingError(
+                f"decoded {len(out)} bytes, container claims {header.orig_size}"
+            )
+        return out
+
+    # ---- helpers -------------------------------------------------------------
+
+    def _pad_rows(self, n: int) -> int:
+        """Pad the batch to a multiple of the mesh size (power-of-two steps)."""
+        ndev = self.mesh.devices.size
+        N = ndev
+        while N < n:
+            N *= 2
+        return N
+
+    @staticmethod
+    def _raise_decode(err: int, err_code: int):
+        if err == _decode.ERR_UNEXPECTED_CODE:
+            raise UnexpectedCodeError(err_code)
+        if err == _decode.ERR_MISSING_CLEAR:
+            raise MissingClearCodeError()
+        if err == _decode.ERR_TRUNCATED:
+            raise TruncatedStreamError()
+        raise AssertionError(f"unknown decode error kind {err}")
