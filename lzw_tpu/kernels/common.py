@@ -1,0 +1,87 @@
+"""Shared Pallas building blocks: scatter-free column compaction and shifts.
+
+The TPU VPU cannot scatter per-lane, so anything that "moves element j of
+lane l to row p(j,l)" must be expressed as rolls + selects.  Two primitives
+cover every need in the codec kernels:
+
+* :func:`compact_columns_jax` — stable stream compaction along axis 0 of a
+  ``[S, L]`` array (independently per lane/column).  Works because each
+  element's downward displacement ``d_j = j - rank_j`` (= holes before it) is
+  non-decreasing in ``j``, so the move decomposes into log2(S) passes of
+  "shift down by 2^b where bit b of the remaining displacement is set".
+* :func:`shift_columns_jax` — shift each column down by its own per-lane
+  amount (binary-decomposed conditional rolls).  This is the scatter
+  substitute used to append compacted segments at per-lane offsets.
+
+Both are written as plain jnp functions operating on arrays: inside a Pallas
+kernel they trace to supported Mosaic ops (the rolls are static), and outside
+a kernel they run under XLA for tests.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+__all__ = ["compact_columns_jax", "shift_columns_jax"]
+
+
+def _roll_down(x, k: int):
+    """Roll axis 0 downward by static k (element j <- element j+k, wrap)."""
+    return jnp.roll(x, -k, axis=0)
+
+
+def compact_columns_jax(values, valid, fill=0):
+    """Stable per-column compaction of ``values[S, L]`` by ``valid[S, L]``.
+
+    Returns (compacted_values, counts) where compacted_values[j, l] is the
+    j-th valid element of column l (fill past counts[l]).
+    """
+    S = values.shape[0]
+    # Displacement of each valid element = number of holes strictly before it.
+    holes_before = jnp.cumsum((~valid).astype(jnp.int32), axis=0) - (
+        ~valid
+    ).astype(jnp.int32)
+    disp = jnp.where(valid, holes_before, 0)
+    vals = jnp.where(valid, values, fill)
+    alive = valid
+
+    b = 0
+    while (1 << b) < S:
+        k = 1 << b
+        # An element with bit b set in its remaining displacement moves up
+        # (towards row 0) by k.  Destination row j receives source row j+k.
+        src_vals = _roll_down(vals, k)
+        src_alive = _roll_down(alive, k)
+        src_disp = _roll_down(disp, k)
+        take = src_alive & ((src_disp & k) != 0)
+        # Current occupant stays only if it doesn't move itself.
+        stay = alive & ((disp & k) == 0)
+        new_vals = jnp.where(take, src_vals, jnp.where(stay, vals, fill))
+        new_alive = take | stay
+        new_disp = jnp.where(take, src_disp - k, jnp.where(stay, disp, 0))
+        vals, alive, disp = new_vals, new_alive, new_disp
+        b += 1
+
+    counts = jnp.sum(valid.astype(jnp.int32), axis=0)
+    return vals, counts
+
+
+def shift_columns_jax(values, shifts, fill=0):
+    """Shift each column of ``values[S, L]`` DOWN by its own ``shifts[l]``.
+
+    Row j of the result holds the source row ``j - shifts[l]`` (fill where
+    that is negative).  Shifts must satisfy ``0 <= shifts[l] < S``.
+    """
+    S, L = values.shape
+    out = values
+    row = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    b = 0
+    while (1 << b) < S:
+        k = 1 << b
+        moved = jnp.roll(out, k, axis=0)  # row j <- row j-k
+        bit = (shifts & k) != 0
+        out = jnp.where(bit[None, :], moved, out)
+        b += 1
+    out = jnp.where(row >= shifts[None, :], out, fill)
+    return out

@@ -1,0 +1,73 @@
+"""Lockstep Pallas encoder vs the oracle (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lzw_tpu.kernels import encode_pallas
+from lzw_tpu.ops import reference as oracle
+from lzw_tpu.spec import Endianness, LzwSpec
+
+FIXED_LE = LzwSpec.fixed(Endianness.LITTLE)
+FIXED_BE = LzwSpec.fixed(Endianness.BIG)
+
+
+def run_kernel(blocks_list, spec, block_size, lanes=8, chunk=64):
+    n = len(blocks_list)
+    N = ((n + lanes - 1) // lanes) * lanes
+    blocks = np.zeros((N, block_size), np.uint8)
+    lens = np.zeros(N, np.int32)
+    for i, b in enumerate(blocks_list):
+        blocks[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    payloads, lengths = encode_pallas.encode_blocks_fixed_tpu(
+        jnp.asarray(blocks), jnp.asarray(lens), block_size,
+        little=spec.endianness is Endianness.LITTLE,
+        interpret=True, lanes=lanes, chunk=chunk,
+    )
+    payloads = np.asarray(payloads)
+    lengths = np.asarray(lengths)
+    return [payloads[i, : lengths[i]].tobytes() for i in range(n)]
+
+
+@pytest.mark.parametrize("spec", [FIXED_LE, FIXED_BE], ids=["le", "be"])
+def test_random_blocks_match_oracle(spec):
+    rng = np.random.default_rng(0)
+    blocks = [
+        rng.integers(0, 256, size=rng.integers(0, 128 + 1)).astype(
+            np.uint8
+        ).tobytes()
+        for _ in range(10)
+    ]
+    got = run_kernel(blocks, spec, block_size=128)
+    for i, b in enumerate(blocks):
+        assert got[i] == oracle.encode_bytes(b, spec), f"block {i} len {len(b)}"
+
+
+def test_compressible_blocks_match_oracle():
+    rng = np.random.default_rng(1)
+    blocks = [
+        bytes([1] * 50 + [2] * 30 + [1, 2, 3] * 10),
+        (b"abcabcabc" * 14)[:128],
+        rng.integers(0, 4, size=128).astype(np.uint8).tobytes(),
+        b"\x00" * 128,
+    ]
+    got = run_kernel(blocks, FIXED_LE, block_size=128)
+    for i, b in enumerate(blocks):
+        assert got[i] == oracle.encode_bytes(b, FIXED_LE), f"block {i}"
+
+
+def test_empty_and_single():
+    blocks = [b"", b"\x07", b"\x00\x00"]
+    got = run_kernel(blocks, FIXED_LE, block_size=64, chunk=64)
+    for i, b in enumerate(blocks):
+        assert got[i] == oracle.encode_bytes(b, FIXED_LE)
+
+
+def test_table_freeze():
+    # Enough distinct digrams to hit the 4096-entry freeze inside one block.
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, size=8192).astype(np.uint8).tobytes()
+    got = run_kernel([data], FIXED_LE, block_size=8192, lanes=8, chunk=512)
+    assert got[0] == oracle.encode_bytes(data, FIXED_LE)
