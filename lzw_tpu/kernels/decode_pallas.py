@@ -1,0 +1,256 @@
+"""Lockstep Pallas decoder (fixed-12): table scan -> LZ77-style copy list.
+
+TPU-native replacement for the decoder hot loop (`decoder.rs:585-637`).  Key
+observation: the dictionary entry created at step t is *previous word + first
+char of the current word* — which is exactly the contiguous output span
+``[off_{t-1}, off_t]`` (`decoder.rs:630-634` in span form).  So every decoded
+word is either a literal (root code) or a **forward copy of an
+already-decoded output range**, and decoding splits into:
+
+* **Pass 1 (this kernel, sequential per code, O(1) each)**: lockstep over
+  1024 blocks; maintains per-entry (length, first char) and (source offset)
+  in step-indexed tables — inserts are uniform tile stores, lookups are
+  compare-scans with the packed-entry range trick (see encode_pallas) — and
+  emits one copy/literal descriptor per code.
+* **Pass 2 (host native runtime)**: resolves the copy list with overlapping
+  forward byte copies (`lzw_apply_words` in lzw_native.cpp) — pure memory
+  plumbing at memcpy speed, threaded across blocks.
+
+Packed-entry formats (ranges chosen so the compare-scan's single
+subtract-and-range-test rejects holes and neighbouring codes exactly):
+
+* attr table: ``code<<20 | first<<12 | length`` (12+8+12 = 32 bits; length of
+  a dynamic entry is >= 2 and <= 4091 < 4096).
+* src table:  ``code<<13 | src`` (12+13 = 25 bits; src <= 4096).
+
+Word descriptors (i32): ``kind<<30 | len<<13 | payload`` with kind 0 = copy
+(payload = src), kind 1 = literal (payload = byte), kind 2 = hole.
+
+Error contract: a code beyond the next free index sets the per-lane error
+flag with the offending code (`decoder.rs:599-601`); the fixed flavor has no
+CLEAR/EOI or truncation errors (bit exhaustion terminates cleanly,
+`io.rs:58-78`).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from lzw_tpu.spec import MAX_TABLE_SIZE
+
+__all__ = [
+    "decode_pass1_fixed_tpu", "unpack12", "KIND_COPY", "KIND_LIT", "KIND_HOLE",
+]
+
+GROUP = 1024
+CELL = 512
+FIRST_FREE = 256
+
+KIND_COPY = 0
+KIND_LIT = 1
+KIND_HOLE = 2
+
+_ATTR_MAX = (255 << 12) | 4095  # valid attr payload window (exclusive bound+1)
+_SRC_MAX = 4096  # valid src payload window bound
+
+
+def unpack12(payloads, plens, little: bool):
+    """XLA unpack: 3 bytes -> 2 twelve-bit codes (static reshape math).
+
+    payloads u8[N, PB] (zero past plens), returns codes i32[N, S] and
+    n_codes i32[N]; PB is padded to a multiple of 3.
+    """
+    N, PB = payloads.shape
+    assert PB % 3 == 0
+    b = payloads.astype(jnp.int32).reshape(N, PB // 3, 3)
+    b0, b1, b2 = b[..., 0], b[..., 1], b[..., 2]
+    if little:
+        c0 = b0 | ((b1 & 0xF) << 8)
+        c1 = (b1 >> 4) | (b2 << 4)
+    else:
+        c0 = (b0 << 4) | (b1 >> 4)
+        c1 = ((b1 & 0xF) << 8) | b2
+    codes = jnp.stack([c0, c1], axis=-1).reshape(N, -1)
+    n_codes = (8 * plens) // 12
+    return codes, n_codes
+
+
+def _make_kernel(seg: int):
+    def kernel(codes_ref, ncodes_ref, words_ref, stats_ref, attr_ref,
+               src_ref, state_ref):
+        return _decode_kernel_fixed(
+            codes_ref, ncodes_ref, words_ref, stats_ref, attr_ref, src_ref,
+            state_ref, seg,
+        )
+
+    return kernel
+
+
+def _decode_kernel_fixed(codes_ref, ncodes_ref, words_ref, stats_ref,
+                         attr_ref, src_ref, state_ref, SEG):
+    """Grid: (groups, cells); step-indexed tables persist across cells."""
+    c = pl.program_id(1)
+    last_cell = c == pl.num_programs(1) - 1
+    cell = codes_ref.shape[1]
+    T_ROWS, sub = attr_ref.shape[:2]
+
+    @pl.when(c == 0)
+    def _init():
+        attr_ref[:] = jnp.zeros(attr_ref.shape, jnp.int32)
+        src_ref[:] = jnp.zeros(src_ref.shape, jnp.int32)
+        for r in range(6):
+            state_ref[r] = jnp.zeros((sub, 128), jnp.int32)
+        state_ref[3] = jnp.full((sub, 128), FIRST_FREE, jnp.int32)  # next
+
+    ncodes = ncodes_ref[0, 0]
+    base = c * cell
+    n_segs = jnp.minimum((base + cell + SEG - 1) // SEG, T_ROWS // SEG)
+
+    def step(j, carry):
+        prev_len, prev_first, off, nxt, err, err_code = carry
+        t = base + j
+        code = codes_ref[0, j]
+        active = (t < ncodes) & (err == 0)
+        first_step = t == 0
+        root = code < FIRST_FREE
+        kwkwk = code == nxt
+        bad = active & jnp.logical_not(first_step) & (code > nxt)
+        err = jnp.where(bad, 1, err)
+        err_code = jnp.where(bad, code, err_code)
+        ok = active & jnp.logical_not(bad)
+
+        # Compare-scans for (length, first) and src of arbitrary codes.
+        a_base = code << 20
+
+        def scan_attr(s, acc):
+            seg_rows = attr_ref[pl.ds(s * SEG, SEG)]
+            d = seg_rows - a_base[None]
+            sel = jnp.where((d >= 1) & (d <= _ATTR_MAX), d, -1)
+            return jnp.maximum(acc, jnp.max(sel, axis=0))
+
+        s_base = code << 13
+
+        def scan_src(s, acc):
+            seg_rows = src_ref[pl.ds(s * SEG, SEG)]
+            d = seg_rows - s_base[None]
+            sel = jnp.where((d >= 0) & (d <= _SRC_MAX), d, -1)
+            return jnp.maximum(acc, jnp.max(sel, axis=0))
+
+        neg = jnp.full((sub, 128), -1, jnp.int32)
+        attr_d = jax.lax.fori_loop(0, n_segs, scan_attr, neg)
+        src_d = jax.lax.fori_loop(0, n_segs, scan_src, neg)
+        len_c = attr_d & 0xFFF
+        first_c = attr_d >> 12
+
+        is_lit = first_step | root
+        length = jnp.where(
+            is_lit, 1, jnp.where(kwkwk, prev_len + 1, len_c)
+        )
+        first = jnp.where(
+            first_step, code & 0xFF,
+            jnp.where(root, code, jnp.where(kwkwk, prev_first, first_c)),
+        )
+        lit_byte = jnp.where(root, code, 0)  # stale first-code reads emit 0
+        src = jnp.where(kwkwk, off - prev_len, src_d)
+
+        kind = jnp.where(
+            ok, jnp.where(is_lit, KIND_LIT, KIND_COPY), KIND_HOLE
+        )
+        payload = jnp.where(is_lit, lit_byte, src)
+        words_ref[0, j] = (kind << 30) | (length << 13) | payload
+
+        # Insert entry (prev word + current first char) at the step row.
+        ins = ok & jnp.logical_not(first_step) & (nxt < MAX_TABLE_SIZE)
+        attr_ref[base + j] = jnp.where(
+            ins, (nxt << 20) | (prev_first << 12) | (prev_len + 1), 0
+        )
+        src_ref[base + j] = jnp.where(ins, (nxt << 13) | (off - prev_len), 0)
+        nxt = nxt + ins.astype(jnp.int32)
+
+        off = off + jnp.where(ok, length, 0)
+        prev_len = jnp.where(ok, length, prev_len)
+        prev_first = jnp.where(ok, first, prev_first)
+        return prev_len, prev_first, off, nxt, err, err_code
+
+    carry = tuple(state_ref[r] for r in range(6))
+    carry = jax.lax.fori_loop(0, cell, step, carry)
+    for r in range(6):
+        state_ref[r] = carry[r]
+
+    @pl.when(last_cell)
+    def _finish():
+        stats_ref[0, 0] = carry[2]  # total decoded length
+        stats_ref[0, 1] = carry[4]  # error flag
+        stats_ref[0, 2] = carry[5]  # offending code
+
+    return None
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "little", "interpret", "group", "cell",
+                     "seg"),
+)
+def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
+                           little: bool = True, interpret: bool = False,
+                           group: int = GROUP, cell: int = CELL,
+                           seg: int = 512):
+    """Fixed-12 pass 1 on TPU: payload bytes -> per-code copy descriptors.
+
+    Args:
+      payloads: u8[N, PB] compressed payloads, zero-padded, PB % 3 == 0.
+      plens:    i32[N] payload byte lengths.
+      block_size: decoded block bound (container block size).
+    Returns:
+      words i32[N, S] descriptors, n_codes i32[N], total i32[N],
+      err i32[N], err_code i32[N].
+    """
+    N, PB = payloads.shape
+    assert N % group == 0 and group % 128 == 0
+    sub = group // 128
+    G = N // group
+
+    codes, n_codes = unpack12(payloads, plens, little)
+    S_raw = codes.shape[1]
+    S = ((S_raw + cell - 1) // cell) * cell
+    codes = jnp.concatenate(
+        [codes, jnp.zeros((N, S - S_raw), jnp.int32)], axis=1
+    )
+
+    x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
+    nc = n_codes.reshape(G, 1, sub, 128)
+
+    words, stats = pl.pallas_call(
+        _make_kernel(seg),
+        grid=(G, S // cell),
+        in_specs=[
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 8, sub, 128), lambda g, c: (g, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, S, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, sub, 128), jnp.int32),
+            pltpu.VMEM((S, sub, 128), jnp.int32),
+            pltpu.VMEM((6, sub, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, nc)
+
+    words = words.reshape(G, S, group).transpose(0, 2, 1).reshape(N, S)
+    stats = stats.reshape(G, 8, group).transpose(0, 2, 1).reshape(N, 8)
+    return words, n_codes, stats[:, 0], stats[:, 1], stats[:, 2]

@@ -1,31 +1,35 @@
-"""Lockstep Pallas encoder: 128 independent blocks per lane-group.
+"""Lockstep Pallas encoder: 1024 independent blocks per kernel instance.
 
-TPU-native replacement for the encoder hot loop (`encoder.rs:313-337`).  One
-VPU lane = one block; all lanes step through their bytes together.  The
-dictionary is a **direct code-indexed table**: row c of ``ptab`` holds the
-packed ``(prefix<<8)|byte`` key whose child code is c (the arena trie's edge
-list, flattened).  A lookup is a masked compare-scan of the table — the VPU
-equivalent of pointer chasing, running at vector line rate — and the matched
-row index *is* the child code, so no value array exists.  Entries beyond each
-lane's ``next`` index are masked out of matches, which also makes dictionary
-reset O(1) (rewind ``next``; stale rows are unreachable until overwritten).
+TPU-native replacement for the encoder hot loop (`encoder.rs:313-337`).
+Design (driven by the measurements in `scripts/ablate*.py` — Mosaic has no
+per-lane gather/scatter, sub-tile row slicing costs ~100 cycles, and VMEM
+compare-scans stream at ~3.7 TB/s):
 
-Inserts write row ``next[l]`` of lane l.  Mosaic cannot scatter per-lane, so
-v1 realises the insert as a masked select over a window of rows bracketing
-all lanes' ``next`` values (lanes drift apart slowly — the window is usually
-a few tiles); a full-table pass is the fallback when the drift exceeds the
-window.
+* **Packed lockstep**: state lives in native (8, 128) tiles — sublane s,
+  lane l is block-group s*128+l — so the per-step dependent op chain is
+  amortized over 1024 blocks (one byte each per step).
+* **Step-indexed dictionary, one i32 per entry**: the (prefix<<8|byte) key is
+  20 bits and codes are 12 bits, so an entry packs as ``key << 12 | code``
+  exactly into an i32.  Entries are stored at row = global step index — a
+  *uniform* row across lanes, so an insert is a single native tile store (the
+  scatter-free answer to the reference's trie `add`, `encoder.rs:120-143`).
+  Hit steps store a hole sentinel.
+* **Lookup = masked compare-scan** over the step rows written so far: the
+  matched entry *contains* its code, so no index extraction or value gather
+  is needed.  The scan bound ramps with the stream position (a dynamic
+  tile-aligned slice loop), and holes/row-reuse need no masking because the
+  sentinel never equals a real key.
+* Block size is fixed at SLOTS-1 = 4096 bytes: the fixed-12 dictionary
+  freezes at 4096 entries (`encoder.rs:645-647`) after at most 4096 inserts,
+  so a 4 KiB block bounds the table at one screenful of rows with no
+  compaction or merge machinery.  Larger logical blocks are handled by the
+  container as multiples of 4 KiB (ratio cost measured < 2% on the corpora).
 
 The kernel emits one i32 slot per input byte: the evicted prefix code on a
 miss, -1 on a hit (hole).  Holes are compacted outside the kernel
-(`lzw_tpu.kernels.common.compact_columns_jax`) and the dense code stream is
-bit-packed with static arithmetic (12-bit pairs -> 3 bytes for the fixed
-flavor).  Width scheduling for the variable flavor is likewise a static
-function of the emission ordinal — see `lzw_tpu.kernels.postprocess`.
-
-Input/output stream through VMEM in CHUNK-row tiles via the grid's inner
-dimension while the dictionary persists in scratch, so block size is bounded
-by HBM, not VMEM.
+(`lzw_tpu.kernels.common.compact_columns_jax`) and the dense stream is packed
+with static arithmetic (12-bit pairs -> 3 bytes); no bit-level scatter
+anywhere.
 """
 
 from __future__ import annotations
@@ -40,110 +44,90 @@ from jax.experimental.pallas import tpu as pltpu
 from lzw_tpu.kernels.common import compact_columns_jax
 from lzw_tpu.spec import MAX_TABLE_SIZE
 
-__all__ = ["encode_blocks_fixed_tpu", "LANES", "CHUNK"]
+__all__ = ["encode_blocks_fixed_tpu", "BLOCK_SIZE", "GROUP"]
 
-LANES = 128
-CHUNK = 1024
-SEG = 512  # lookup scan segment (rows); predicated out above the ramp
-INS_WIN = 512  # insert window (rows); full-table fallback past this drift
-TABLE_PAD = 512  # table rows rounded up so insert windows fit (4608=9*512)
+BLOCK_SIZE = 4096  # device block size (bytes); container blocks are multiples
+GROUP = 1024  # blocks per kernel instance (8 sublanes x 128 lanes)
+CELL = 512  # steps per grid cell (VMEM streaming tile)
+SEG = 512  # scan segment rows
+# Table hole: entry code fields are always >= 256 (first dynamic code), so a
+# zero word can never satisfy the range test below.
+HOLE = 0
+FIRST_FREE = 256
+DYN_CODES = MAX_TABLE_SIZE - FIRST_FREE  # 3840 dynamic entries
 
 
-def _encode_kernel_fixed(x_ref, len_ref, out_ref, ptab_ref, state_ref):
-    """Grid: (groups, chunks). Scratch persists across the chunk dimension."""
+def _make_kernel_fixed(seg: int):
+    def kernel(x_ref, len_ref, out_ref, ptab_ref, state_ref):
+        return _encode_kernel_fixed(
+            x_ref, len_ref, out_ref, ptab_ref, state_ref, seg
+        )
+
+    return kernel
+
+
+def _encode_kernel_fixed(x_ref, len_ref, out_ref, ptab_ref, state_ref, SEG):
+    """Grid: (groups, cells).  Scratch persists across the cell dimension."""
     c = pl.program_id(1)
-    T, lanes = ptab_ref.shape
-    chunk = x_ref.shape[1]
-    first_free = 256  # fixed flavor: byte alphabet roots
-
-    ROWS = jax.lax.broadcasted_iota(jnp.int32, (T, lanes), 0)
+    cell = x_ref.shape[1]
+    T_ROWS, sub = ptab_ref.shape[:2]
 
     @pl.when(c == 0)
     def _init():
-        ptab_ref[:] = jnp.full((T, lanes), -1, jnp.int32)
-        state_ref[0, :] = jnp.zeros((lanes,), jnp.int32)  # prefix
-        state_ref[1, :] = jnp.full((lanes,), first_free, jnp.int32)  # next
+        ptab_ref[:] = jnp.full(ptab_ref.shape, HOLE, jnp.int32)
+        state_ref[0] = jnp.zeros((sub, 128), jnp.int32)  # prefix
+        state_ref[1] = jnp.full((sub, 128), FIRST_FREE, jnp.int32)  # next
 
-    lens = len_ref[0, 0, :]  # (lanes,)
-    base = c * chunk
+    lens = len_ref[0, 0]  # (sub, 128)
+    base = c * cell
+    # Rows written so far live in [0, cell_end); tile-aligned segment count.
+    n_segs = jnp.minimum((base + cell + SEG - 1) // SEG, T_ROWS // SEG)
 
-    n_segs = T // SEG
-    SEG_ROWS = ROWS[:SEG]  # (SEG, lanes) iota, reused with per-segment bias
+    def step(j, carry):
+        prefix, nxt = carry  # (sub, 128) each
+        i = base + j
+        k = x_ref[0, j]  # (sub, 128) native tile
+        active = i < lens
+        final = (i == lens) & (lens > 0)
+        is_first = i == 0
 
-    # Mosaic requires >=8-sublane aligned tile accesses; process the chunk in
-    # 8-row tiles with statically-unrolled row selects inside each tile.
-    def tile_step(t, carry):
-        prefix, nxt = carry  # (1, lanes) each
-        row0 = pl.multiple_of(t * 8, 8)
-        tile = x_ref[0, pl.ds(row0, 8), :]  # (8, lanes) i32
-        out_rows = []
-        for r in range(8):
-            i = base + t * 8 + r  # global byte index
-            k = tile[r, :][None, :]
-            active = (i < lens)[None, :]
-            final = ((i == lens) & (lens > 0))[None, :]
-            is_first = i == 0  # only step 0 seeds the prefix
+        key = prefix * 256 + k  # 20-bit dictionary key
 
-            key = prefix * 256 + k
-            nxt_max = jnp.max(nxt)
-            nxt_min = jnp.min(nxt)
+        # Compare-scan over written rows.  Entry = key<<12 | code with code in
+        # [256, 4096), so "entry - (target+256) in [0, 3840)" is an exact
+        # match test that also rejects holes and wrapped deltas; the matched
+        # difference IS code-256 — no index extraction, no value gather.
+        tbase = (key << 12) + FIRST_FREE
 
-            # Compare-scan: matched row index IS the child code.  Rows >= nxt
-            # hold the -1 sentinel (fixed tables are append-only), so a bare
-            # equality suffices; segments above every lane's ramp are skipped.
-            def scan_segment(s, acc):
-                seg = ptab_ref[pl.ds(s * SEG, SEG), :]
-                part = jnp.max(
-                    jnp.where(seg == key, SEG_ROWS + s * SEG, -1),
-                    axis=0, keepdims=True,
-                )
-                return jnp.maximum(acc, part)
+        def scan_seg(s, acc):
+            seg = ptab_ref[pl.ds(s * SEG, SEG)]  # (SEG, sub, 128)
+            d = seg - tbase[None]
+            sel = jnp.where((d >= 0) & (d < DYN_CODES), d, -1)
+            return jnp.maximum(acc, jnp.max(sel, axis=0))
 
-            matched = jnp.full((1, lanes), -1, jnp.int32)
-            for s in range(n_segs):
-                matched = jax.lax.cond(
-                    s * SEG < nxt_max,
-                    lambda m, s=s: scan_segment(s, m),
-                    lambda m: m,
-                    matched,
-                )
-            miss = active & (matched < 0) & jnp.logical_not(is_first)
-            hit = active & (matched >= 0) & jnp.logical_not(is_first)
+        matched_d = jax.lax.fori_loop(
+            0, n_segs, scan_seg, jnp.full((sub, 128), -1, jnp.int32)
+        )
+        matched = matched_d + FIRST_FREE  # valid only where matched_d >= 0
+        miss = active & (matched_d < 0) & jnp.logical_not(is_first)
+        hit = active & (matched_d >= 0) & jnp.logical_not(is_first)
 
-            out_rows.append(jnp.where(miss | final, prefix, -1)[0])
+        out_ref[0, j] = jnp.where(miss | final, prefix, -1)
 
-            # Insert at row nxt[l] per lane: masked select over a window
-            # bracketing all lanes' next pointers (they drift slowly).
-            ins = miss & (nxt < MAX_TABLE_SIZE)
-            w0 = pl.multiple_of((nxt_min // 8) * 8, 8)
+        # Insert: one uniform tile store at the current step row.
+        ins = miss & (nxt < MAX_TABLE_SIZE)
+        ptab_ref[base + j] = jnp.where(ins, (key << 12) | nxt, HOLE)
 
-            def insert_window():
-                win = ptab_ref[pl.ds(w0, INS_WIN), :]
-                rows_w = SEG_ROWS[:INS_WIN] + w0
-                ptab_ref[pl.ds(w0, INS_WIN), :] = jnp.where(
-                    (rows_w == nxt) & ins, key, win
-                )
-
-            def insert_full():
-                ptab_ref[:] = jnp.where((ROWS == nxt) & ins, key, ptab_ref[:])
-
-            jax.lax.cond(
-                nxt_max - w0 < INS_WIN, insert_window, insert_full
-            )
-
-            prefix = jnp.where(
-                active & is_first, k,
-                jnp.where(miss, k, jnp.where(hit, matched, prefix)),
-            )
-            nxt = nxt + ins.astype(jnp.int32)
-        out_ref[0, pl.ds(row0, 8), :] = jnp.stack(out_rows, axis=0)
+        prefix = jnp.where(
+            active & is_first, k,
+            jnp.where(miss, k, jnp.where(hit, matched, prefix)),
+        )
+        nxt = nxt + ins.astype(jnp.int32)
         return prefix, nxt
 
-    prefix0 = state_ref[0, :][None, :]
-    nxt0 = state_ref[1, :][None, :]
-    prefix, nxt = jax.lax.fori_loop(0, chunk // 8, tile_step, (prefix0, nxt0))
-    state_ref[0, :] = prefix[0]
-    state_ref[1, :] = nxt[0]
+    p, n = jax.lax.fori_loop(0, cell, step, (state_ref[0], state_ref[1]))
+    state_ref[0] = p
+    state_ref[1] = n
 
 
 def _pack12(dense, counts, little: bool):
@@ -167,57 +151,66 @@ def _pack12(dense, counts, little: bool):
 
 @functools.partial(
     jax.jit,
-    static_argnames=("block_size", "little", "interpret", "lanes", "chunk"),
+    static_argnames=("block_size", "little", "interpret", "group", "cell",
+                     "seg"),
 )
-def encode_blocks_fixed_tpu(blocks, lens, block_size: int, little: bool = True,
-                            interpret: bool = False, lanes: int = LANES,
-                            chunk: int = CHUNK):
+def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
+                            little: bool = True, interpret: bool = False,
+                            group: int = GROUP, cell: int = CELL,
+                            seg: int = SEG):
     """Fixed-12-bit block-parallel encode on TPU.
 
     Args:
-      blocks: u8[N, block_size], N a multiple of ``lanes``.
+      blocks: u8[N, block_size], N a multiple of ``group``; block_size is at
+        most BLOCK_SIZE (the step-indexed table must fit VMEM; callers split
+        larger container blocks into BLOCK_SIZE device blocks).
       lens:   i32[N] valid byte counts.
-      block_size: static, a multiple of ``chunk``.
-      lanes/chunk: lockstep width and VMEM streaming tile (test knobs; the
-        TPU defaults are LANES=128, CHUNK=1024).
+      group: blocks per kernel instance (8*128 on hardware; smaller in
+        interpret-mode tests — must stay a multiple of 128).
+      cell/seg: streaming tile and scan segment sizes (test knobs).
     Returns:
       payloads u8[N, PB] (zero-padded), lengths i32[N].
     """
     N, B = blocks.shape
-    assert B == block_size and N % lanes == 0 and B % chunk == 0
-    G = N // lanes
-    SLOTS = B + chunk  # one extra chunk of slots for the final-prefix row
+    assert B == block_size and block_size <= BLOCK_SIZE
+    assert block_size % cell == 0 and cell % seg == 0
+    assert N % group == 0 and group % 128 == 0
+    sub = group // 128
+    G = N // group
+    slots = B + cell
 
-    # [N, B] -> [G, B(+pad), lanes], widened to i32 (Mosaic has no dynamic
-    # sub-tile i8 loads; the HBM cost is invisible next to the scan).
-    x = blocks.astype(jnp.int32).reshape(G, lanes, B).transpose(0, 2, 1)
+    # [N, B] -> [G, slots, sub, 128] step-major tiles, widened to i32.
+    x = blocks.astype(jnp.int32).reshape(G, sub, 128, B).transpose(0, 3, 1, 2)
     x = jnp.concatenate(
-        [x, jnp.zeros((G, chunk, lanes), jnp.int32)], axis=1
+        [x, jnp.zeros((G, slots - B, sub, 128), jnp.int32)], axis=1
     )
-    l = lens.reshape(G, 1, lanes)
+    l = lens.reshape(G, 1, sub, 128)
 
-    T = MAX_TABLE_SIZE + TABLE_PAD
-    grid = (G, SLOTS // chunk)
     codes = pl.pallas_call(
-        _encode_kernel_fixed,
-        grid=grid,
+        _make_kernel_fixed(seg),
+        grid=(G, slots // cell),
         in_specs=[
-            pl.BlockSpec((1, chunk, lanes), lambda g, c: (g, c, 0)),
-            pl.BlockSpec((1, 1, lanes), lambda g, c: (g, 0, 0)),
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, chunk, lanes), lambda g, c: (g, c, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, SLOTS, lanes), jnp.int32),
+        out_specs=pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, slots, sub, 128), jnp.int32),
         scratch_shapes=[
-            pltpu.VMEM((T, lanes), jnp.int32),
-            pltpu.VMEM((8, lanes), jnp.int32),
+            pltpu.VMEM((slots, sub, 128), jnp.int32),
+            pltpu.VMEM((2, sub, 128), jnp.int32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
         interpret=interpret,
     )(x, l)
 
-    # Compact holes per lane, back to [N, SLOTS] block-major.
+    # Compact holes per block column, back to [N, slots] block-major.
+    SLOTS = slots
+    flat = codes.reshape(G, SLOTS, group)
     dense, counts = jax.vmap(
         lambda v: compact_columns_jax(v, v >= 0, fill=0)
-    )(codes)
+    )(flat)
     dense = dense.transpose(0, 2, 1).reshape(N, SLOTS)
     counts = counts.reshape(N)
     payloads, lengths = _pack12(dense, counts, little)

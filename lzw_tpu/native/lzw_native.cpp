@@ -424,4 +424,61 @@ int lzw_decode_blocks(const uint8_t* comp, const uint32_t* comp_offsets,
   return kOk;
 }
 
+// Resolve a decode copy list produced by the TPU pass-1 kernel
+// (lzw_tpu/kernels/decode_pallas.py).  Descriptors: kind<<30 | len<<13 |
+// payload, kind 0 = copy-from-src, 1 = literal byte, 2 = hole.  Copies may
+// overlap their destination by design (KwKwK words); the forward byte loop
+// realises the LZ77 semantics exactly.
+int lzw_apply_words(const int32_t* words, size_t n_words, uint8_t* out,
+                    size_t out_cap, size_t* out_len) {
+  size_t pos = 0;
+  for (size_t i = 0; i < n_words; ++i) {
+    const uint32_t w = static_cast<uint32_t>(words[i]);
+    const uint32_t kind = w >> 30;
+    if (kind == 2) continue;
+    const size_t len = (w >> 13) & 0xFFF;
+    const uint32_t payload = w & 0x1FFF;
+    if (pos + len > out_cap) return kErrBufTooSmall;
+    if (kind == 1) {
+      out[pos++] = static_cast<uint8_t>(payload);
+      continue;
+    }
+    const size_t src = payload;
+    if (src + len > pos + 1) return kErrUnexpectedDecode;  // corrupt list
+    for (size_t b = 0; b < len; ++b) out[pos + b] = out[src + b];
+    pos += len;
+  }
+  *out_len = pos;
+  return kOk;
+}
+
+// Threaded block variant: words is [n_blocks, words_stride] row-major, out
+// is [n_blocks, block_size].
+int lzw_apply_words_blocks(const int32_t* words, size_t words_stride,
+                           size_t n_blocks, uint8_t* out, size_t block_size,
+                           uint32_t* out_lengths, int n_threads) {
+  std::vector<int> results(n_blocks, kOk);
+
+  auto worker = [&](size_t t, size_t stride) {
+    for (size_t b = t; b < n_blocks; b += stride) {
+      size_t out_len = 0;
+      results[b] = lzw_apply_words(words + b * words_stride, words_stride,
+                                   out + b * block_size, block_size, &out_len);
+      out_lengths[b] = static_cast<uint32_t>(out_len);
+    }
+  };
+
+  if (n_threads <= 1) {
+    worker(0, 1);
+  } else {
+    std::vector<std::thread> pool;
+    pool.reserve(n_threads);
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker, t, n_threads);
+    for (auto& th : pool) th.join();
+  }
+  for (size_t b = 0; b < n_blocks; ++b)
+    if (results[b] != kOk) return results[b];
+  return kOk;
+}
+
 }  // extern "C"

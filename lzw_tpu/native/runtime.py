@@ -91,6 +91,12 @@ class NativeRuntime:
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
             ctypes.c_int, ip,
         ]
+        i32p = ctypes.POINTER(ctypes.c_int32)
+        lib.lzw_apply_words_blocks.restype = ctypes.c_int
+        lib.lzw_apply_words_blocks.argtypes = [
+            i32p, ctypes.c_size_t, ctypes.c_size_t, u8p, ctypes.c_size_t,
+            u32p, ctypes.c_int,
+        ]
         self._lib = lib
 
     # ---- helpers -------------------------------------------------------------
@@ -225,6 +231,28 @@ class NativeRuntime:
             out[b * block_size : b * block_size + out_lens[b]].tobytes()
             for b in range(n_blocks)
         )
+
+
+    def apply_words(
+        self, words: np.ndarray, block_size: int, n_threads: int | None = None
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Resolve TPU pass-1 copy lists: words i32[N, S] -> bytes, lengths.
+
+        Returns (out u8[N, block_size], lengths u32[N]).
+        """
+        words = np.ascontiguousarray(words, np.int32)
+        n_blocks, stride = words.shape
+        out = np.zeros(n_blocks * block_size, np.uint8)
+        lengths = np.zeros(n_blocks, np.uint32)
+        threads = n_threads or min(os.cpu_count() or 1, 32)
+        rc = self._lib.lzw_apply_words_blocks(
+            words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), stride,
+            n_blocks, self._as_u8p(out), block_size,
+            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), threads,
+        )
+        if rc != _OK:
+            raise UnexpectedCodeError(-1)  # corrupt copy list
+        return out.reshape(n_blocks, block_size), lengths
 
 
 def native_available() -> bool:

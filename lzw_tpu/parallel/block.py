@@ -41,6 +41,12 @@ from lzw_tpu.spec import (
 __all__ = ["BlockParallelCodec", "default_mesh"]
 
 DEFAULT_BLOCK_SIZE = 1 << 16
+# The fixed flavor freezes its dictionary after 4096 entries
+# (`encoder.rs:645-647`), so long streams drag a stale dictionary; small
+# blocks re-learn and usually compress BETTER (-24% on the image corpus at
+# 4 KiB vs the reference single stream).  4 KiB is also the Pallas kernel's
+# native device block.
+DEFAULT_FIXED_BLOCK_SIZE = 1 << 12
 
 
 def default_mesh(axis: str = "data") -> Mesh:
@@ -60,11 +66,16 @@ class BlockParallelCodec:
     def __init__(
         self,
         spec: LzwSpec,
-        block_size: int = DEFAULT_BLOCK_SIZE,
+        block_size: int | None = None,
         mesh: Mesh | None = None,
         axis: str = "data",
+        use_pallas: bool | None = None,
     ):
         spec.validate()
+        if block_size is None:
+            block_size = (
+                DEFAULT_BLOCK_SIZE if spec.variable else DEFAULT_FIXED_BLOCK_SIZE
+            )
         if block_size <= 0:
             raise ValueError("block_size must be positive")
         self.spec = spec
@@ -72,6 +83,18 @@ class BlockParallelCodec:
         self.axis = axis
         self.mesh = mesh if mesh is not None else default_mesh(axis)
         self._packed_bound = _encode.packed_bound(block_size, spec)
+        # The Pallas lockstep kernels are the TPU fast path (the lax scan is
+        # ~100x slower there, see scripts/probe_tpu.py); XLA:CPU runs the lax
+        # path, which is what the virtual-device test mesh exercises.
+        if use_pallas is None:
+            use_pallas = jax.default_backend() == "tpu" or any(
+                d.platform == "tpu" for d in jax.devices()
+            )
+        from lzw_tpu.kernels.encode_pallas import BLOCK_SIZE as _PB
+
+        self.use_pallas = (
+            use_pallas and not spec.variable and block_size == _PB
+        )
 
         ax = self.axis
 
@@ -125,17 +148,40 @@ class BlockParallelCodec:
             return framing.pack_frame(self.spec, self.block_size, 0, [])
 
         N = self._pad_rows(n_blocks)
-        blocks = np.zeros((N, self.block_size), np.uint8)
+        bs = self.block_size
+        blocks = np.zeros((N, bs), np.uint8)
         lens = np.zeros(N, np.int32)
         arr = np.frombuffer(data, np.uint8)
-        for i in range(n_blocks):
-            chunk = arr[i * self.block_size : (i + 1) * self.block_size]
-            blocks[i, : len(chunk)] = chunk
-            lens[i] = len(chunk)
+        full = len(data) // bs
+        blocks[:full] = arr[: full * bs].reshape(full, bs)
+        lens[:full] = bs
+        rem = len(data) - full * bs
+        if rem:
+            blocks[full, :rem] = arr[full * bs :]
+            lens[full] = rem
 
-        bufs, n_bytes, errs, err_codes = self._encode_batch(
-            jnp.asarray(blocks), jnp.asarray(lens)
-        )
+        if self.use_pallas:
+            from lzw_tpu.kernels.encode_pallas import (
+                GROUP, encode_blocks_fixed_tpu,
+            )
+            from lzw_tpu.spec import Endianness
+
+            if N % GROUP != 0:
+                pad = ((N + GROUP - 1) // GROUP) * GROUP - N
+                blocks = np.concatenate(
+                    [blocks, np.zeros((pad, self.block_size), np.uint8)]
+                )
+                lens = np.concatenate([lens, np.zeros(pad, np.int32)])
+            bufs, n_bytes = encode_blocks_fixed_tpu(
+                jnp.asarray(blocks), jnp.asarray(lens), self.block_size,
+                little=self.spec.endianness is Endianness.LITTLE,
+            )
+            errs = np.zeros(n_blocks, np.int32)  # fixed flavor cannot error
+            err_codes = errs
+        else:
+            bufs, n_bytes, errs, err_codes = self._encode_batch(
+                jnp.asarray(blocks), jnp.asarray(lens)
+            )
         errs = np.asarray(errs)[:n_blocks]
         if errs.any():
             i = int(np.argmax(errs != 0))
@@ -157,13 +203,45 @@ class BlockParallelCodec:
         if header.n_blocks == 0:
             return b""
 
+        use_pallas_decode = self.use_pallas and self._native() is not None
         N = self._pad_rows(header.n_blocks)
         comp_bound = max(self._packed_bound, max(len(p) for p in payloads))
+        if use_pallas_decode:
+            from lzw_tpu.kernels.decode_pallas import GROUP
+
+            if N % GROUP != 0:
+                N = ((N + GROUP - 1) // GROUP) * GROUP
+            comp_bound = ((comp_bound + 2) // 3) * 3
         comp = np.zeros((N, comp_bound), np.uint8)
         clens = np.zeros(N, np.int32)
         for i, p in enumerate(payloads):
             comp[i, : len(p)] = np.frombuffer(p, np.uint8)
             clens[i] = len(p)
+
+        if use_pallas_decode:
+            from lzw_tpu.kernels.decode_pallas import decode_pass1_fixed_tpu
+            from lzw_tpu.spec import Endianness
+
+            words, _, totals, errs, err_codes = decode_pass1_fixed_tpu(
+                jnp.asarray(comp), jnp.asarray(clens), self.block_size,
+                little=self.spec.endianness is Endianness.LITTLE,
+            )
+            n = header.n_blocks
+            errs = np.asarray(errs)[:n]
+            if errs.any():
+                i = int(np.argmax(errs != 0))
+                raise UnexpectedCodeError(int(np.asarray(err_codes)[i]))
+            outs, tlens = self._native().apply_words(
+                np.asarray(words)[:n], self.block_size
+            )
+            parts = [outs[i, : tlens[i]].tobytes() for i in range(n)]
+            out = b"".join(parts)
+            if len(out) != header.orig_size:
+                raise framing.FramingError(
+                    f"decoded {len(out)} bytes, container claims "
+                    f"{header.orig_size}"
+                )
+            return out
 
         outs, tlens, errs, err_codes = self._decode_batch(
             jnp.asarray(comp), jnp.asarray(clens)
@@ -183,6 +261,16 @@ class BlockParallelCodec:
         return out
 
     # ---- helpers -------------------------------------------------------------
+
+    @staticmethod
+    def _native():
+        """The native runtime, or None when the toolchain is unavailable."""
+        try:
+            from lzw_tpu.native.runtime import get_runtime
+
+            return get_runtime()
+        except Exception:
+            return None
 
     def _pad_rows(self, n: int) -> int:
         """Pad the batch to a multiple of the mesh size (power-of-two steps)."""

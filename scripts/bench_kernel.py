@@ -22,7 +22,7 @@ def main():
     print("devices:", jax.devices())
     spec = LzwSpec.fixed(Endianness.LITTLE)
     B = int(sys.argv[1]) if len(sys.argv) > 1 else 4096
-    N = int(sys.argv[2]) if len(sys.argv) > 2 else 256
+    N = int(sys.argv[2]) if len(sys.argv) > 2 else 1024
 
     tokyo = load_tokyo_pixels(ASSETS / "tokyo_128_colors.png")
     data = (tokyo * (N * B // len(tokyo) + 1))[: N * B]
@@ -30,6 +30,7 @@ def main():
     lens = np.full(N, B, np.int32)
 
     f = lambda b, l: encode_pallas.encode_blocks_fixed_tpu(b, l, B)
+    assert B == encode_pallas.BLOCK_SIZE, "v3 kernel uses 4KiB device blocks"
     db, dl = jnp.asarray(blocks), jnp.asarray(lens)
 
     t0 = time.perf_counter()

@@ -1,0 +1,103 @@
+"""Pallas decode pass-1 + native copy-apply vs the oracle (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lzw_tpu.kernels import decode_pallas
+from lzw_tpu.native.runtime import get_runtime, native_available
+from lzw_tpu.ops import reference as oracle
+from lzw_tpu.spec import Endianness, LzwSpec
+
+FIXED_LE = LzwSpec.fixed(Endianness.LITTLE)
+FIXED_BE = LzwSpec.fixed(Endianness.BIG)
+
+
+def decode_via_kernel(payload_list, spec, block_size, group=128, cell=64,
+                      seg=64):
+    n = len(payload_list)
+    N = ((n + group - 1) // group) * group
+    pb = max((len(p) for p in payload_list), default=1)
+    pb = ((pb + 2) // 3) * 3
+    payloads = np.zeros((N, pb), np.uint8)
+    plens = np.zeros(N, np.int32)
+    for i, p in enumerate(payload_list):
+        payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
+        plens[i] = len(p)
+    words, n_codes, totals, errs, err_codes = decode_pallas.decode_pass1_fixed_tpu(
+        jnp.asarray(payloads), jnp.asarray(plens), block_size,
+        little=spec.endianness is Endianness.LITTLE,
+        interpret=True, group=group, cell=cell, seg=seg,
+    )
+    words = np.asarray(words)
+    totals = np.asarray(totals)
+    errs = np.asarray(errs)
+    assert not errs[:n].any(), f"unexpected errors {errs[:n]}"
+    if native_available():
+        out, lengths = get_runtime().apply_words(words[:n], block_size)
+        assert (lengths == totals[:n]).all()
+        return [out[i, : lengths[i]].tobytes() for i in range(n)]
+    pytest.skip("native runtime unavailable")
+
+
+@pytest.mark.parametrize("spec", [FIXED_LE, FIXED_BE], ids=["le", "be"])
+def test_random_payloads(spec):
+    rng = np.random.default_rng(0)
+    datas = [
+        rng.integers(0, 256, size=int(rng.integers(0, 129))).astype(
+            np.uint8
+        ).tobytes()
+        for _ in range(8)
+    ]
+    payloads = [oracle.encode_bytes(d, spec) for d in datas]
+    got = decode_via_kernel(payloads, spec, block_size=128)
+    for i, d in enumerate(datas):
+        assert got[i] == d, f"block {i}"
+
+
+def test_compressible_payloads():
+    datas = [
+        bytes([1] * 60 + [2] * 40 + [1, 2, 3] * 9),
+        (b"ababab" * 22)[:128],
+        b"\x00" * 128,
+        b"",
+        b"\x41",
+    ]
+    payloads = [oracle.encode_bytes(d, FIXED_LE) for d in datas]
+    got = decode_via_kernel(payloads, FIXED_LE, block_size=128)
+    for i, d in enumerate(datas):
+        assert got[i] == d, f"block {i}"
+
+
+def test_kwkwk_heavy():
+    data = bytes([7] * 120)  # pure run: KwKwK chain
+    payloads = [oracle.encode_bytes(data, FIXED_LE)]
+    got = decode_via_kernel(payloads, FIXED_LE, block_size=128)
+    assert got[0] == data
+
+
+def test_unexpected_code_flagged():
+    # Code far beyond next index on the second code.
+    bad = oracle.pack_codes([(65, 12), (3000, 12)], Endianness.LITTLE)
+    N, pb = 128, 3
+    payloads = np.zeros((N, pb), np.uint8)
+    payloads[0, : len(bad)] = np.frombuffer(bad, np.uint8)
+    plens = np.zeros(N, np.int32)
+    plens[0] = len(bad)
+    _, _, _, errs, err_codes = decode_pallas.decode_pass1_fixed_tpu(
+        jnp.asarray(payloads), jnp.asarray(plens), 128,
+        interpret=True, group=128, cell=64, seg=64,
+    )
+    assert int(np.asarray(errs)[0]) == 1
+    assert int(np.asarray(err_codes)[0]) == 3000
+
+
+@pytest.mark.slow
+def test_table_freeze_decode():
+    rng = np.random.default_rng(2)
+    data = rng.integers(0, 256, size=4096).astype(np.uint8).tobytes()
+    payloads = [oracle.encode_bytes(data, FIXED_LE)]
+    got = decode_via_kernel(payloads, FIXED_LE, block_size=4096,
+                            cell=512, seg=512)
+    assert got[0] == data

@@ -13,9 +13,9 @@ FIXED_LE = LzwSpec.fixed(Endianness.LITTLE)
 FIXED_BE = LzwSpec.fixed(Endianness.BIG)
 
 
-def run_kernel(blocks_list, spec, block_size, lanes=8, chunk=64):
+def run_kernel(blocks_list, spec, block_size, group=128, cell=64, seg=64):
     n = len(blocks_list)
-    N = ((n + lanes - 1) // lanes) * lanes
+    N = ((n + group - 1) // group) * group
     blocks = np.zeros((N, block_size), np.uint8)
     lens = np.zeros(N, np.int32)
     for i, b in enumerate(blocks_list):
@@ -24,7 +24,7 @@ def run_kernel(blocks_list, spec, block_size, lanes=8, chunk=64):
     payloads, lengths = encode_pallas.encode_blocks_fixed_tpu(
         jnp.asarray(blocks), jnp.asarray(lens), block_size,
         little=spec.endianness is Endianness.LITTLE,
-        interpret=True, lanes=lanes, chunk=chunk,
+        interpret=True, group=group, cell=cell, seg=seg,
     )
     payloads = np.asarray(payloads)
     lengths = np.asarray(lengths)
@@ -60,14 +60,23 @@ def test_compressible_blocks_match_oracle():
 
 def test_empty_and_single():
     blocks = [b"", b"\x07", b"\x00\x00"]
-    got = run_kernel(blocks, FIXED_LE, block_size=64, chunk=64)
+    got = run_kernel(blocks, FIXED_LE, block_size=64, cell=64, seg=64)
     for i, b in enumerate(blocks):
         assert got[i] == oracle.encode_bytes(b, FIXED_LE)
 
 
+def test_extreme_key_values():
+    # Bytes 255 after high-prefix chains stress the packed key<<12 format.
+    data = bytes([255] * 100 + [0] * 28)
+    got = run_kernel([data], FIXED_LE, block_size=128)
+    assert got[0] == oracle.encode_bytes(data, FIXED_LE)
+
+
+@pytest.mark.slow
 def test_table_freeze():
     # Enough distinct digrams to hit the 4096-entry freeze inside one block.
     rng = np.random.default_rng(2)
-    data = rng.integers(0, 256, size=8192).astype(np.uint8).tobytes()
-    got = run_kernel([data], FIXED_LE, block_size=8192, lanes=8, chunk=512)
+    data = rng.integers(0, 256, size=4096).astype(np.uint8).tobytes()
+    got = run_kernel([data], FIXED_LE, block_size=4096, group=128,
+                     cell=512, seg=512)
     assert got[0] == oracle.encode_bytes(data, FIXED_LE)
