@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from lzw_tpu.kernels.common import compact_columns_jax
 from lzw_tpu.spec import MAX_TABLE_SIZE
 
-__all__ = ["encode_blocks_fixed_tpu", "BLOCK_SIZE", "GROUP"]
+__all__ = ["encode_blocks_fixed_tpu",
+           "encode_blocks_variable_codes_tpu", "BLOCK_SIZE", "GROUP"]
 
 BLOCK_SIZE = 4096  # device block size (bytes); container blocks are multiples
 GROUP = 1024  # blocks per kernel instance (8 sublanes x 128 lanes)
@@ -57,77 +58,121 @@ FIRST_FREE = 256
 DYN_CODES = MAX_TABLE_SIZE - FIRST_FREE  # 3840 dynamic entries
 
 
-def _make_kernel_fixed(seg: int):
-    def kernel(x_ref, len_ref, out_ref, ptab_ref, state_ref):
-        return _encode_kernel_fixed(
-            x_ref, len_ref, out_ref, ptab_ref, state_ref, seg
+def _make_kernel(seg: int, spec_key):
+    """spec_key: None for the fixed flavor, else (first_free, max_code,
+    reset_threshold) for a variable flavor."""
+
+    def kernel(x_ref, len_ref, out_ref, err_ref, ptab_ref, state_ref):
+        return _encode_kernel(
+            x_ref, len_ref, out_ref, err_ref, ptab_ref, state_ref, seg,
+            spec_key,
         )
 
     return kernel
 
 
-def _encode_kernel_fixed(x_ref, len_ref, out_ref, ptab_ref, state_ref, SEG):
+def _encode_kernel(x_ref, len_ref, out_ref, err_ref, ptab_ref, state_ref,
+                   SEG, spec_key):
     """Grid: (groups, cells).  Scratch persists across the cell dimension."""
     c = pl.program_id(1)
+    last_cell = c == pl.num_programs(1) - 1
     cell = x_ref.shape[1]
     T_ROWS, sub = ptab_ref.shape[:2]
+    variable = spec_key is not None
+    if variable:
+        first_free, max_code, reset_threshold = spec_key
+    else:
+        first_free, max_code, reset_threshold = FIRST_FREE, 255, None
+    dyn_codes = MAX_TABLE_SIZE - first_free
 
     @pl.when(c == 0)
     def _init():
         ptab_ref[:] = jnp.full(ptab_ref.shape, HOLE, jnp.int32)
         state_ref[0] = jnp.zeros((sub, 128), jnp.int32)  # prefix
-        state_ref[1] = jnp.full((sub, 128), FIRST_FREE, jnp.int32)  # next
+        state_ref[1] = jnp.full((sub, 128), first_free, jnp.int32)  # next
+        state_ref[2] = jnp.zeros((sub, 128), jnp.int32)  # epoch start row
+        state_ref[3] = jnp.zeros((sub, 128), jnp.int32)  # error flag
+        state_ref[4] = jnp.zeros((sub, 128), jnp.int32)  # error code
 
     lens = len_ref[0, 0]  # (sub, 128)
     base = c * cell
     # Rows written so far live in [0, cell_end); tile-aligned segment count.
     n_segs = jnp.minimum((base + cell + SEG - 1) // SEG, T_ROWS // SEG)
+    ROW0 = jax.lax.broadcasted_iota(jnp.int32, (SEG, sub, 128), 0)
 
     def step(j, carry):
-        prefix, nxt = carry  # (sub, 128) each
+        prefix, nxt, estart, err, err_code = carry  # (sub, 128) each
         i = base + j
         k = x_ref[0, j]  # (sub, 128) native tile
-        active = i < lens
-        final = (i == lens) & (lens > 0)
+        active = (i < lens) & (err == 0)
+        final = (i == lens) & (lens > 0) & (err == 0)
         is_first = i == 0
+
+        if variable:
+            bad = active & jnp.logical_not(is_first) & (k > max_code)
+            err = jnp.where(bad, 1, err)
+            err_code = jnp.where(bad, k, err_code)
+            active = active & jnp.logical_not(bad)
 
         key = prefix * 256 + k  # 20-bit dictionary key
 
         # Compare-scan over written rows.  Entry = key<<12 | code with code in
-        # [256, 4096), so "entry - (target+256) in [0, 3840)" is an exact
-        # match test that also rejects holes and wrapped deltas; the matched
-        # difference IS code-256 — no index extraction, no value gather.
-        tbase = (key << 12) + FIRST_FREE
+        # [first_free, 4096), so "entry - (target+first_free) in
+        # [0, dyn_codes)" is an exact match test that also rejects holes and
+        # wrapped deltas; the matched difference IS code-first_free — no
+        # index extraction, no value gather.  For variable flavors entries
+        # from before the lane's last dictionary reset are masked by row.
+        tbase = (key << 12) + first_free
 
         def scan_seg(s, acc):
             seg = ptab_ref[pl.ds(s * SEG, SEG)]  # (SEG, sub, 128)
             d = seg - tbase[None]
-            sel = jnp.where((d >= 0) & (d < DYN_CODES), d, -1)
+            valid = (d >= 0) & (d < dyn_codes)
+            if variable:
+                valid &= (ROW0 + s * SEG) >= estart[None]
+            sel = jnp.where(valid, d, -1)
             return jnp.maximum(acc, jnp.max(sel, axis=0))
 
         matched_d = jax.lax.fori_loop(
             0, n_segs, scan_seg, jnp.full((sub, 128), -1, jnp.int32)
         )
-        matched = matched_d + FIRST_FREE  # valid only where matched_d >= 0
+        matched = matched_d + first_free  # valid only where matched_d >= 0
         miss = active & (matched_d < 0) & jnp.logical_not(is_first)
         hit = active & (matched_d >= 0) & jnp.logical_not(is_first)
 
         out_ref[0, j] = jnp.where(miss | final, prefix, -1)
 
-        # Insert: one uniform tile store at the current step row.
-        ins = miss & (nxt < MAX_TABLE_SIZE)
-        ptab_ref[base + j] = jnp.where(ins, (key << 12) | nxt, HOLE)
+        # Insert: one uniform tile store at the current step row.  Variable
+        # flavors insert unconditionally (the entry that trips the reset is
+        # immediately invalidated by the epoch rewind and never matchable).
+        if variable:
+            ins = miss
+            ptab_ref[base + j] = jnp.where(
+                ins, (key << 12) | (nxt & 0xFFF), HOLE
+            )
+            reset = ins & (nxt == reset_threshold)
+            nxt = jnp.where(reset, first_free, nxt + ins.astype(jnp.int32))
+            estart = jnp.where(reset, i + 1, estart)
+        else:
+            ins = miss & (nxt < MAX_TABLE_SIZE)
+            ptab_ref[base + j] = jnp.where(ins, (key << 12) | nxt, HOLE)
+            nxt = nxt + ins.astype(jnp.int32)
 
         prefix = jnp.where(
             active & is_first, k,
             jnp.where(miss, k, jnp.where(hit, matched, prefix)),
         )
-        nxt = nxt + ins.astype(jnp.int32)
-        return prefix, nxt
+        return prefix, nxt, estart, err, err_code
 
-    p, n = jax.lax.fori_loop(0, cell, step, (state_ref[0], state_ref[1]))
-    state_ref[0] = p
-    state_ref[1] = n
+    carry = tuple(state_ref[r] for r in range(5))
+    carry = jax.lax.fori_loop(0, cell, step, carry)
+    for r in range(5):
+        state_ref[r] = carry[r]
+
+    @pl.when(last_cell)
+    def _finish():
+        err_ref[0, 0] = carry[3]
+        err_ref[0, 1] = carry[4]
 
 
 def _pack12(dense, counts, little: bool):
@@ -147,6 +192,60 @@ def _pack12(dense, counts, little: bool):
     by = jnp.stack([b0, b1, b2], axis=-1).reshape(N, -1)
     lengths = (12 * counts + 7) >> 3
     return by.astype(jnp.uint8), lengths
+
+
+def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
+                       cell, seg):
+    """Shared pallas_call driver; returns (codes [G,slots,sub,128], err)."""
+    N, B = blocks.shape
+    assert B == block_size and block_size <= BLOCK_SIZE
+    assert block_size % cell == 0 and cell % seg == 0
+    assert N % group == 0 and group % 128 == 0
+    sub = group // 128
+    G = N // group
+    slots = B + cell
+
+    # [N, B] -> [G, slots, sub, 128] step-major tiles, widened to i32.
+    x = blocks.astype(jnp.int32).reshape(G, sub, 128, B).transpose(0, 3, 1, 2)
+    x = jnp.concatenate(
+        [x, jnp.zeros((G, slots - B, sub, 128), jnp.int32)], axis=1
+    )
+    l = lens.reshape(G, 1, sub, 128)
+
+    codes, errs = pl.pallas_call(
+        _make_kernel(seg, spec_key),
+        grid=(G, slots // cell),
+        in_specs=[
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 8, sub, 128), lambda g, c: (g, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, slots, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((slots, sub, 128), jnp.int32),
+            pltpu.VMEM((5, sub, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, l)
+
+    # Compact holes per block column, back to [N, slots] block-major.
+    flat = codes.reshape(G, slots, group)
+    dense, counts = jax.vmap(
+        lambda v: compact_columns_jax(v, v >= 0, fill=0)
+    )(flat)
+    dense = dense.transpose(0, 2, 1).reshape(N, slots)
+    counts = counts.reshape(N)
+    errs = errs.reshape(G, 8, group).transpose(0, 2, 1).reshape(N, 8)
+    return dense, counts, errs[:, 0], errs[:, 1]
 
 
 @functools.partial(
@@ -171,47 +270,37 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
     Returns:
       payloads u8[N, PB] (zero-padded), lengths i32[N].
     """
-    N, B = blocks.shape
-    assert B == block_size and block_size <= BLOCK_SIZE
-    assert block_size % cell == 0 and cell % seg == 0
-    assert N % group == 0 and group % 128 == 0
-    sub = group // 128
-    G = N // group
-    slots = B + cell
-
-    # [N, B] -> [G, slots, sub, 128] step-major tiles, widened to i32.
-    x = blocks.astype(jnp.int32).reshape(G, sub, 128, B).transpose(0, 3, 1, 2)
-    x = jnp.concatenate(
-        [x, jnp.zeros((G, slots - B, sub, 128), jnp.int32)], axis=1
+    dense, counts, _, _ = _run_encode_kernel(
+        blocks, lens, block_size, None, interpret, group, cell, seg
     )
-    l = lens.reshape(G, 1, sub, 128)
-
-    codes = pl.pallas_call(
-        _make_kernel_fixed(seg),
-        grid=(G, slots // cell),
-        in_specs=[
-            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
-            pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, slots, sub, 128), jnp.int32),
-        scratch_shapes=[
-            pltpu.VMEM((slots, sub, 128), jnp.int32),
-            pltpu.VMEM((2, sub, 128), jnp.int32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(x, l)
-
-    # Compact holes per block column, back to [N, slots] block-major.
-    SLOTS = slots
-    flat = codes.reshape(G, SLOTS, group)
-    dense, counts = jax.vmap(
-        lambda v: compact_columns_jax(v, v >= 0, fill=0)
-    )(flat)
-    dense = dense.transpose(0, 2, 1).reshape(N, SLOTS)
-    counts = counts.reshape(N)
     payloads, lengths = _pack12(dense, counts, little)
     return payloads, lengths
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "block_size", "interpret", "group", "cell",
+                     "seg"),
+)
+def encode_blocks_variable_codes_tpu(blocks, lens, spec,
+                                     block_size: int = BLOCK_SIZE,
+                                     interpret: bool = False,
+                                     group: int = GROUP, cell: int = CELL,
+                                     seg: int = SEG):
+    """Variable-flavor block encode on TPU: dense data codes per block.
+
+    The wire layout of a variable stream is a static function of the
+    emission ordinal (`lzw_tpu.kernels.schedule`), so the kernel only
+    produces code values; callers pack with ``schedule.pack_variable``.
+
+    Returns (dense i32[N, S], counts i32[N], err i32[N], err_code i32[N]).
+    """
+    spec.validate()
+    spec_key = (
+        spec.first_free_code,
+        spec.max_code_value,
+        MAX_TABLE_SIZE - spec.strategy.increment,
+    )
+    return _run_encode_kernel(
+        blocks, lens, block_size, spec_key, interpret, group, cell, seg
+    )

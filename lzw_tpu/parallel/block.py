@@ -92,9 +92,7 @@ class BlockParallelCodec:
             )
         from lzw_tpu.kernels.encode_pallas import BLOCK_SIZE as _PB
 
-        self.use_pallas = (
-            use_pallas and not spec.variable and block_size == _PB
-        )
+        self.use_pallas = use_pallas and block_size == _PB
 
         ax = self.axis
 
@@ -161,23 +159,35 @@ class BlockParallelCodec:
             lens[full] = rem
 
         if self.use_pallas:
-            from lzw_tpu.kernels.encode_pallas import (
-                GROUP, encode_blocks_fixed_tpu,
-            )
+            from lzw_tpu.kernels import encode_pallas as _ep, schedule as _sched
             from lzw_tpu.spec import Endianness
 
-            if N % GROUP != 0:
-                pad = ((N + GROUP - 1) // GROUP) * GROUP - N
+            if N % _ep.GROUP != 0:
+                pad = ((N + _ep.GROUP - 1) // _ep.GROUP) * _ep.GROUP - N
                 blocks = np.concatenate(
                     [blocks, np.zeros((pad, self.block_size), np.uint8)]
                 )
                 lens = np.concatenate([lens, np.zeros(pad, np.int32)])
-            bufs, n_bytes = encode_blocks_fixed_tpu(
-                jnp.asarray(blocks), jnp.asarray(lens), self.block_size,
-                little=self.spec.endianness is Endianness.LITTLE,
-            )
-            errs = np.zeros(n_blocks, np.int32)  # fixed flavor cannot error
-            err_codes = errs
+            little = self.spec.endianness is Endianness.LITTLE
+            if self.spec.variable:
+                dense, counts, errs, err_codes = (
+                    _ep.encode_blocks_variable_codes_tpu(
+                        jnp.asarray(blocks), jnp.asarray(lens), self.spec,
+                        self.block_size,
+                    )
+                )
+                errs = np.asarray(errs)
+                bufs, n_bytes = _sched.pack_variable(
+                    np.asarray(dense)[:n_blocks],
+                    np.asarray(counts)[:n_blocks], self.spec, fix_eoi=True,
+                )
+            else:
+                bufs, n_bytes = _ep.encode_blocks_fixed_tpu(
+                    jnp.asarray(blocks), jnp.asarray(lens), self.block_size,
+                    little=little,
+                )
+                errs = np.zeros(n_blocks, np.int32)
+                err_codes = errs
         else:
             bufs, n_bytes, errs, err_codes = self._encode_batch(
                 jnp.asarray(blocks), jnp.asarray(lens)
@@ -203,7 +213,25 @@ class BlockParallelCodec:
         if header.n_blocks == 0:
             return b""
 
-        use_pallas_decode = self.use_pallas and self._native() is not None
+        if self.spec.variable and self.use_pallas and self._native() is not None:
+            # Variable-flavor device decode lands in a later round; the
+            # threaded native runtime is the TPU-session fast path meanwhile.
+            n = header.n_blocks
+            out = self._native().decode_blocks(
+                [bytes(p) for p in payloads], self.spec, self.block_size
+            )
+            if len(out) != header.orig_size:
+                raise framing.FramingError(
+                    f"decoded {len(out)} bytes, container claims "
+                    f"{header.orig_size}"
+                )
+            return out
+
+        use_pallas_decode = (
+            self.use_pallas
+            and not self.spec.variable
+            and self._native() is not None
+        )
         N = self._pad_rows(header.n_blocks)
         comp_bound = max(self._packed_bound, max(len(p) for p in payloads))
         if use_pallas_decode:

@@ -1,0 +1,111 @@
+"""Variable-flavor Pallas encoder + static-schedule packing vs the oracle."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from lzw_tpu.kernels import encode_pallas, schedule
+from lzw_tpu.ops import reference as oracle
+from lzw_tpu.spec import CodeSizeStrategy, Endianness, LzwSpec
+
+SPECS = [
+    LzwSpec.gif(2), LzwSpec.gif(7), LzwSpec.tiff(),
+    LzwSpec.variable(4, Endianness.BIG, CodeSizeStrategy.TIFF),
+]
+IDS = ["gif2", "gif7", "tiff", "var4"]
+
+
+def encode_via_kernel(blocks_list, spec, block_size, group=128, cell=64,
+                      seg=64, fix_eoi=True):
+    n = len(blocks_list)
+    N = ((n + group - 1) // group) * group
+    blocks = np.zeros((N, block_size), np.uint8)
+    lens = np.zeros(N, np.int32)
+    for i, b in enumerate(blocks_list):
+        blocks[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    dense, counts, errs, err_codes = encode_pallas.encode_blocks_variable_codes_tpu(
+        jnp.asarray(blocks), jnp.asarray(lens), spec, block_size,
+        interpret=True, group=group, cell=cell, seg=seg,
+    )
+    dense = np.asarray(dense)
+    counts = np.asarray(counts)
+    errs = np.asarray(errs)[:n]
+    payloads, lengths = schedule.pack_variable(
+        dense[:n], counts[:n], spec, fix_eoi=fix_eoi
+    )
+    return ([payloads[i, : lengths[i]].tobytes() for i in range(n)],
+            errs, np.asarray(err_codes)[:n])
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_random_blocks_match_oracle(spec):
+    rng = np.random.default_rng(0)
+    hi = 1 << spec.code_size
+    blocks = [
+        rng.integers(0, hi, size=int(rng.integers(0, 129))).astype(
+            np.uint8
+        ).tobytes()
+        for _ in range(10)
+    ]
+    got, errs, _ = encode_via_kernel(blocks, spec, 128, fix_eoi=False)
+    assert not errs.any()
+    for i, b in enumerate(blocks):
+        assert got[i] == oracle.encode_bytes(b, spec), f"block {i} ({len(b)}B)"
+
+
+def test_compressible_blocks():
+    spec = LzwSpec.gif(7)
+    blocks = [
+        (b"the quick brown fox " * 10)[:128],
+        bytes([1] * 128),
+        bytes(range(128)),
+    ]
+    got, errs, _ = encode_via_kernel(blocks, spec, 128, fix_eoi=False)
+    assert not errs.any()
+    for i, b in enumerate(blocks):
+        assert got[i] == oracle.encode_bytes(b, spec), f"block {i}"
+
+
+def test_unexpected_code_flagged():
+    spec = LzwSpec.gif(2)
+    blocks = [bytes([0, 1, 8, 3])]
+    _, errs, err_codes = encode_via_kernel(blocks, spec, 128)
+    assert errs[0] == 1
+    assert err_codes[0] == 8
+
+
+def test_first_byte_not_checked():
+    spec = LzwSpec.gif(2)
+    _, errs, _ = encode_via_kernel([bytes([200])], spec, 128, fix_eoi=False)
+    assert not errs.any()
+
+
+def test_fix_eoi_round_trips():
+    # Quirky stream: EOI fix keeps the stream decodable by our own decoder.
+    spec = LzwSpec.gif(2)
+    rng = np.random.default_rng(0)
+    for _ in range(300):
+        data = rng.integers(0, 4, size=int(rng.integers(4, 40))).astype(
+            np.uint8
+        ).tobytes()
+        if oracle.eoi_width_quirk(oracle.encode_codes(data, spec), spec):
+            got, errs, _ = encode_via_kernel([data], spec, 64, cell=64,
+                                             seg=64, fix_eoi=True)
+            assert not errs.any()
+            assert oracle.decode_bytes(got[0], spec) == data
+            return
+    pytest.fail("no quirky stream found")
+
+
+@pytest.mark.slow
+def test_dictionary_reset_in_kernel():
+    # 4096-byte random block at cs=8 overflows the table -> epoch rewind.
+    spec = LzwSpec.variable(8, Endianness.LITTLE)
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=4096).astype(np.uint8).tobytes()
+    got, errs, _ = encode_via_kernel([data], spec, 4096, cell=512, seg=512,
+                                     fix_eoi=False)
+    assert not errs.any()
+    assert got[0] == oracle.encode_bytes(data, spec)
