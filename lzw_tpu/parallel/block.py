@@ -288,6 +288,35 @@ class BlockParallelCodec:
             )
         return out
 
+    def decode_range(self, container: bytes, start_block: int,
+                     end_block: int) -> bytes:
+        """Decode blocks [start_block, end_block) only.
+
+        The per-block length table makes every block independently decodable
+        — the framework's checkpoint/resume and fault-isolation story
+        (`SURVEY.md` §5): a failed or interrupted decode restarts at any
+        block boundary, and random access costs one header parse.
+        """
+        header, payloads = framing.parse_frame(bytes(container))
+        if not 0 <= start_block <= end_block <= header.n_blocks:
+            raise IndexError(
+                f"block range [{start_block}, {end_block}) outside "
+                f"0..{header.n_blocks}"
+            )
+        if start_block == end_block:
+            return b""
+        sub_orig = self._range_orig_size(header, start_block, end_block)
+        sub = framing.pack_frame(
+            self.spec, self.block_size, sub_orig,
+            [bytes(p) for p in payloads[start_block:end_block]],
+        )
+        return self.decode(sub)
+
+    def _range_orig_size(self, header: framing.FrameHeader, lo: int,
+                         hi: int) -> int:
+        end = min(hi * self.block_size, header.orig_size)
+        return max(0, end - lo * self.block_size)
+
     # ---- helpers -------------------------------------------------------------
 
     @staticmethod

@@ -113,3 +113,33 @@ def test_truncated_container_rejected(lorem_ipsum):
     container = codec.encode(lorem_ipsum)
     with pytest.raises(framing.FramingError):
         codec.decode(container[: len(container) // 2])
+
+
+def test_decode_range_random_access(lorem_ipsum):
+    # Resume/fault-isolation story: any block range decodes independently.
+    codec = BlockParallelCodec(GIF7, block_size=4096)
+    container = codec.encode(lorem_ipsum)
+    header, _ = framing.parse_frame(container)
+    for lo, hi in [(0, 1), (2, 5), (header.n_blocks - 1, header.n_blocks),
+                   (0, header.n_blocks), (3, 3)]:
+        expect = lorem_ipsum[lo * 4096 : hi * 4096]
+        assert codec.decode_range(container, lo, hi) == expect
+    with pytest.raises(IndexError):
+        codec.decode_range(container, 0, header.n_blocks + 1)
+
+
+def test_determinism_across_backends(tokyo_pixels):
+    # Same input -> identical container bytes, run-to-run and backend-
+    # independent payloads (the reference's determinism tests generalized,
+    # `encoder.rs:715-737`).
+    data = tokyo_pixels[:30000]
+    codec = BlockParallelCodec(GIF7, block_size=4096)
+    assert codec.encode(data) == codec.encode(data)
+    from lzw_tpu.ops import reference as oracle_mod
+
+    _, payloads = framing.parse_frame(codec.encode(data))
+    for i, p in enumerate(payloads):
+        chunk = data[i * 4096 : (i + 1) * 4096]
+        codes = oracle_mod.encode_codes(chunk, GIF7)
+        if not oracle_mod.eoi_width_quirk(codes, GIF7):
+            assert bytes(p) == oracle_mod.pack_codes(codes, GIF7.endianness)
