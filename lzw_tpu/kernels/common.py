@@ -31,17 +31,34 @@ def _roll_down(x, k: int):
     return jnp.roll(x, -k, axis=0)
 
 
-def compact_columns_jax(values, valid, fill=0):
-    """Stable per-column compaction of ``values[S, L]`` by ``valid[S, L]``.
+def _cumsum0(x):
+    """Inclusive prefix sum along axis 0 via log-step shift-adds.
 
-    Returns (compacted_values, counts) where compacted_values[j, l] is the
-    j-th valid element of column l (fill past counts[l]).
+    Mosaic has no cumsum primitive; this is the Hillis-Steele scan from
+    rolls + masked adds, usable both inside Pallas kernels and under XLA.
+    """
+    S = x.shape[0]
+    row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
+    k = 1
+    while k < S:
+        shifted = jnp.where(row >= k, jnp.roll(x, k, axis=0), 0)
+        x = x + shifted
+        k *= 2
+    return x
+
+
+def compact_columns_jax(values, valid, fill=0):
+    """Stable per-column compaction of ``values[S, ...]`` by ``valid[S, ...]``.
+
+    Operates along axis 0 with any trailing shape (each trailing index is an
+    independent column).  Returns (compacted_values, counts) where
+    compacted_values[j, ...] is the j-th valid element of that column (fill
+    past counts[...]).
     """
     S = values.shape[0]
     # Displacement of each valid element = number of holes strictly before it.
-    holes_before = jnp.cumsum((~valid).astype(jnp.int32), axis=0) - (
-        ~valid
-    ).astype(jnp.int32)
+    holes = (~valid).astype(jnp.int32)
+    holes_before = _cumsum0(holes) - holes
     disp = jnp.where(valid, holes_before, 0)
     vals = jnp.where(valid, values, fill)
     alive = valid
@@ -68,20 +85,21 @@ def compact_columns_jax(values, valid, fill=0):
 
 
 def shift_columns_jax(values, shifts, fill=0):
-    """Shift each column of ``values[S, L]`` DOWN by its own ``shifts[l]``.
+    """Shift each column of ``values[S, ...]`` DOWN by its own ``shifts[...]``.
 
-    Row j of the result holds the source row ``j - shifts[l]`` (fill where
-    that is negative).  Shifts must satisfy ``0 <= shifts[l] < S``.
+    Row j of the result holds the source row ``j - shifts[...]`` (fill where
+    that is negative).  Shifts must satisfy ``0 <= shifts < S`` and have the
+    trailing shape of ``values``.
     """
-    S, L = values.shape
+    S = values.shape[0]
     out = values
-    row = jax.lax.broadcasted_iota(jnp.int32, (S, L), 0)
+    row = jax.lax.broadcasted_iota(jnp.int32, values.shape, 0)
     b = 0
     while (1 << b) < S:
         k = 1 << b
         moved = jnp.roll(out, k, axis=0)  # row j <- row j-k
         bit = (shifts & k) != 0
-        out = jnp.where(bit[None, :], moved, out)
+        out = jnp.where(bit[None], moved, out)
         b += 1
-    out = jnp.where(row >= shifts[None, :], out, fill)
+    out = jnp.where(row >= shifts[None], out, fill)
     return out

@@ -80,3 +80,30 @@ def test_table_freeze():
     got = run_kernel([data], FIXED_LE, block_size=4096, group=128,
                      cell=512, seg=512)
     assert got[0] == oracle.encode_bytes(data, FIXED_LE)
+
+
+@pytest.mark.parametrize("spec", [FIXED_LE, FIXED_BE], ids=["le", "be"])
+def test_compact_variant_matches_oracle(spec):
+    rng = np.random.default_rng(11)
+    blocks = [
+        rng.integers(0, 256, size=int(rng.integers(0, 129))).astype(
+            np.uint8
+        ).tobytes()
+        for _ in range(10)
+    ] + [bytes([3] * 100), (b"xyxyxy" * 22)[:128]]
+    n = len(blocks)
+    N = 128
+    mat = np.zeros((N, 128), np.uint8)
+    lens = np.zeros(N, np.int32)
+    for i, b in enumerate(blocks):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    payloads, lengths = encode_pallas.encode_blocks_fixed_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), 128,
+        little=spec.endianness is Endianness.LITTLE,
+        interpret=True, group=128, cell=64, seg=64, compact=True,
+    )
+    payloads, lengths = np.asarray(payloads), np.asarray(lengths)
+    for i, b in enumerate(blocks):
+        got = payloads[i, : lengths[i]].tobytes()
+        assert got == oracle.encode_bytes(b, spec), f"block {i}"
