@@ -40,6 +40,10 @@ def main() -> None:
     import jax
     import jax.numpy as jnp
 
+    from lzw_tpu.utils.cache import enable_compilation_cache
+
+    enable_compilation_cache()
+
     from lzw_tpu.kernels import encode_pallas
     from lzw_tpu.parallel.block import BlockParallelCodec
     from lzw_tpu.spec import Endianness, LzwSpec

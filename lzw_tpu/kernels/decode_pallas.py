@@ -44,7 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from lzw_tpu.spec import MAX_TABLE_SIZE
 
 __all__ = [
-    "decode_pass1_fixed_tpu", "unpack12", "KIND_COPY", "KIND_LIT", "KIND_HOLE",
+    "decode_pass1_fixed_tpu", "decode_pass1_variable_tpu", "unpack12",
+    "KIND_COPY", "KIND_LIT", "KIND_HOLE",
 ]
 
 GROUP = 1024
@@ -80,24 +81,38 @@ def unpack12(payloads, plens, little: bool):
     return codes, n_codes
 
 
-def _make_kernel(seg: int):
-    def kernel(codes_ref, ncodes_ref, words_ref, stats_ref, attr_ref,
-               src_ref, state_ref):
-        return _decode_kernel_fixed(
-            codes_ref, ncodes_ref, words_ref, stats_ref, attr_ref, src_ref,
-            state_ref, seg,
+def _make_kernel(seg: int, variable_spec=None):
+    def kernel(codes_ref, ncodes_ref, *rest):
+        if variable_spec is None:
+            words_ref, stats_ref, attr_ref, src_ref, state_ref = rest
+            sched_ref = None
+        else:
+            sched_ref = rest[0]
+            words_ref, stats_ref, attr_ref, src_ref, state_ref = rest[1:]
+        return _decode_kernel(
+            codes_ref, ncodes_ref, sched_ref, words_ref, stats_ref, attr_ref,
+            src_ref, state_ref, seg, variable_spec,
         )
 
     return kernel
 
 
-def _decode_kernel_fixed(codes_ref, ncodes_ref, words_ref, stats_ref,
-                         attr_ref, src_ref, state_ref, SEG):
-    """Grid: (groups, cells); step-indexed tables persist across cells."""
+def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, stats_ref,
+                   attr_ref, src_ref, state_ref, SEG, variable_spec):
+    """Grid: (groups, cells); step-indexed tables persist across cells.
+
+    For variable flavors (strict schedule streams), ``sched_ref`` carries
+    per-step static scalars: row 0 the dictionary index assigned at step t
+    (``Schedule.nxt_of``), row 1 the step index of the epoch start.  All
+    lanes share them because strict streams consume code ordinals in
+    lockstep.
+    """
     c = pl.program_id(1)
     last_cell = c == pl.num_programs(1) - 1
     cell = codes_ref.shape[1]
     T_ROWS, sub = attr_ref.shape[:2]
+    variable = variable_spec is not None
+    alphabet = variable_spec if variable else FIRST_FREE
 
     @pl.when(c == 0)
     def _init():
@@ -105,7 +120,8 @@ def _decode_kernel_fixed(codes_ref, ncodes_ref, words_ref, stats_ref,
         src_ref[:] = jnp.zeros(src_ref.shape, jnp.int32)
         for r in range(6):
             state_ref[r] = jnp.zeros((sub, 128), jnp.int32)
-        state_ref[3] = jnp.full((sub, 128), FIRST_FREE, jnp.int32)  # next
+        state_ref[3] = jnp.full((sub, 128), alphabet + 2 if variable
+                                else FIRST_FREE, jnp.int32)  # next
 
     ncodes = ncodes_ref[0, 0]
     base = c * cell
@@ -116,8 +132,15 @@ def _decode_kernel_fixed(codes_ref, ncodes_ref, words_ref, stats_ref,
         t = base + j
         code = codes_ref[0, j]
         active = (t < ncodes) & (err == 0)
-        first_step = t == 0
-        root = code < FIRST_FREE
+        if variable:
+            # Static schedule scalars (identical across lanes).
+            nxt_sched = sched_ref[0, j]
+            epoch_start = sched_ref[1, j]
+            first_step = t == epoch_start
+            nxt = jnp.full((sub, 128), 0, jnp.int32) + nxt_sched
+        else:
+            first_step = t == 0
+        root = code < alphabet
         kwkwk = code == nxt
         bad = active & jnp.logical_not(first_step) & (code > nxt)
         err = jnp.where(bad, 1, err)
@@ -125,25 +148,36 @@ def _decode_kernel_fixed(codes_ref, ncodes_ref, words_ref, stats_ref,
         ok = active & jnp.logical_not(bad)
 
         # Compare-scans for (length, first) and src of arbitrary codes.
+        # Variable flavors scan only the current epoch's step rows (epoch
+        # boundaries are static and uniform across lanes in strict streams).
         a_base = code << 20
+        if variable:
+            s_lo = epoch_start // SEG
+            ROW0 = jax.lax.broadcasted_iota(jnp.int32, (SEG, sub, 128), 0)
+        else:
+            s_lo = 0
 
         def scan_attr(s, acc):
             seg_rows = attr_ref[pl.ds(s * SEG, SEG)]
             d = seg_rows - a_base[None]
-            sel = jnp.where((d >= 1) & (d <= _ATTR_MAX), d, -1)
-            return jnp.maximum(acc, jnp.max(sel, axis=0))
+            sel = (d >= 1) & (d <= _ATTR_MAX)
+            if variable:
+                sel &= (ROW0 + s * SEG) >= epoch_start
+            return jnp.maximum(acc, jnp.max(jnp.where(sel, d, -1), axis=0))
 
         s_base = code << 13
 
         def scan_src(s, acc):
             seg_rows = src_ref[pl.ds(s * SEG, SEG)]
             d = seg_rows - s_base[None]
-            sel = jnp.where((d >= 0) & (d <= _SRC_MAX), d, -1)
-            return jnp.maximum(acc, jnp.max(sel, axis=0))
+            sel = (d >= 0) & (d <= _SRC_MAX)
+            if variable:
+                sel &= (ROW0 + s * SEG) >= epoch_start
+            return jnp.maximum(acc, jnp.max(jnp.where(sel, d, -1), axis=0))
 
         neg = jnp.full((sub, 128), -1, jnp.int32)
-        attr_d = jax.lax.fori_loop(0, n_segs, scan_attr, neg)
-        src_d = jax.lax.fori_loop(0, n_segs, scan_src, neg)
+        attr_d = jax.lax.fori_loop(s_lo, n_segs, scan_attr, neg)
+        src_d = jax.lax.fori_loop(s_lo, n_segs, scan_src, neg)
         len_c = attr_d & 0xFFF
         first_c = attr_d >> 12
 
@@ -226,7 +260,7 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
     nc = n_codes.reshape(G, 1, sub, 128)
 
     words, stats = pl.pallas_call(
-        _make_kernel(seg),
+        _make_kernel(seg, None),
         grid=(G, S // cell),
         in_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
@@ -254,3 +288,87 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
     words = words.reshape(G, S, group).transpose(0, 2, 1).reshape(N, S)
     stats = stats.reshape(G, 8, group).transpose(0, 2, 1).reshape(N, 8)
     return words, n_codes, stats[:, 0], stats[:, 1], stats[:, 2]
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("spec", "interpret", "group", "cell", "seg"),
+)
+def _variable_pass1(codes, n_codes, sched, spec, interpret, group, cell, seg):
+    N, S = codes.shape
+    sub = group // 128
+    G = N // group
+    x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
+    nc = n_codes.reshape(G, 1, sub, 128)
+    words, stats = pl.pallas_call(
+        _make_kernel(seg, spec.alphabet_size),
+        grid=(G, S // cell),
+        in_specs=[
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            pl.BlockSpec((2, cell), lambda g, c: (0, c),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 8, sub, 128), lambda g, c: (g, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, S, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((S, sub, 128), jnp.int32),
+            pltpu.VMEM((S, sub, 128), jnp.int32),
+            pltpu.VMEM((6, sub, 128), jnp.int32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, nc, sched)
+    words = words.reshape(G, S, group).transpose(0, 2, 1).reshape(N, S)
+    stats = stats.reshape(G, 8, group).transpose(0, 2, 1).reshape(N, 8)
+    return words, stats
+
+
+def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
+                              interpret: bool = False, group: int = GROUP,
+                              cell: int = CELL, seg: int = 512):
+    """Variable-flavor strict-stream pass 1: payloads -> copy descriptors.
+
+    Strict streams (everything salzweg or this framework emits) follow the
+    static emission schedule, so the bit stream is unpacked host-side
+    (`schedule.unpack_variable`) and the kernel consumes aligned data codes
+    with per-step schedule scalars.  Returns an extra ``strict`` bool mask;
+    non-strict streams must go through a fallback decoder.
+
+    Returns (words, n_codes, total, err, err_code, strict).
+    """
+    from lzw_tpu.kernels import schedule as _sched_mod
+
+    import numpy as np
+
+    N, PB = payloads.shape
+    assert N % group == 0 and group % 128 == 0
+    payloads_np = np.asarray(payloads)
+    plens_np = np.asarray(plens)
+    dense, counts, strict = _sched_mod.unpack_variable(
+        payloads_np, plens_np.astype(np.int64), spec
+    )
+    S_raw = dense.shape[1]
+    S = max(((S_raw + cell - 1) // cell) * cell, cell)
+    sched = _sched_mod.emission_schedule(spec, S)
+    dense = np.concatenate(
+        [dense, np.zeros((N, S - S_raw), np.int32)], axis=1
+    )
+    # Per-step scalars: decoder-side next index and epoch start ordinal.
+    sched_arr = np.zeros((2, S), np.int32)
+    sched_arr[0, :] = (sched.nxt_of[:S] - 1).astype(np.int32)
+    sched_arr[1, :] = sched.epoch_start[:S].astype(np.int32)
+
+    words, stats = _variable_pass1(
+        jnp.asarray(dense), jnp.asarray(counts.astype(np.int32)),
+        jnp.asarray(sched_arr), spec, interpret, group, cell, seg,
+    )
+    return (words, counts, stats[:, 0], stats[:, 1], stats[:, 2], strict)

@@ -49,6 +49,11 @@ DEFAULT_BLOCK_SIZE = 1 << 16
 DEFAULT_FIXED_BLOCK_SIZE = 1 << 12
 
 
+from lzw_tpu.utils.cache import enable_compilation_cache
+
+enable_compilation_cache()
+
+
 def default_mesh(axis: str = "data") -> Mesh:
     """All local devices on one data-parallel axis."""
     return Mesh(np.array(jax.devices()), (axis,))
@@ -214,9 +219,11 @@ class BlockParallelCodec:
             return b""
 
         if self.spec.variable and self.use_pallas and self._native() is not None:
-            # Variable-flavor device decode lands in a later round; the
-            # threaded native runtime is the TPU-session fast path meanwhile.
-            n = header.n_blocks
+            out = self._decode_variable_device(header, payloads)
+            if out is not None:
+                return out
+            # Non-strict stream (foreign early-CLEAR data): threaded native
+            # runtime fallback.
             out = self._native().decode_blocks(
                 [bytes(p) for p in payloads], self.spec, self.block_size
             )
@@ -285,6 +292,44 @@ class BlockParallelCodec:
         if len(out) != header.orig_size:
             raise framing.FramingError(
                 f"decoded {len(out)} bytes, container claims {header.orig_size}"
+            )
+        return out
+
+    def _decode_variable_device(self, header, payloads):
+        """Strict-schedule device decode; None when any block is non-strict."""
+        from lzw_tpu.kernels.decode_pallas import (
+            GROUP, decode_pass1_variable_tpu,
+        )
+
+        n = header.n_blocks
+        N = ((n + GROUP - 1) // GROUP) * GROUP
+        pb = max(len(p) for p in payloads)
+        mat = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        for i, p in enumerate(payloads):
+            mat[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        words, counts, totals, errs, err_codes, strict = (
+            decode_pass1_variable_tpu(mat, plens, self.spec, self.block_size)
+        )
+        if not strict[:n].all():
+            return None
+        errs = np.asarray(errs)[:n]
+        if errs.any():
+            i = int(np.argmax(errs != 0))
+            self._raise_decode(
+                _decode.ERR_UNEXPECTED_CODE, int(np.asarray(err_codes)[i])
+            )
+        outs, tlens = self._native().apply_words(
+            np.asarray(words)[:n], self.block_size
+        )
+        out = b"".join(
+            outs[i, : tlens[i]].tobytes() for i in range(n)
+        )
+        if len(out) != header.orig_size:
+            raise framing.FramingError(
+                f"decoded {len(out)} bytes, container claims "
+                f"{header.orig_size}"
             )
         return out
 

@@ -101,3 +101,74 @@ def test_table_freeze_decode():
     got = decode_via_kernel(payloads, FIXED_LE, block_size=4096,
                             cell=512, seg=512)
     assert got[0] == data
+
+
+class TestVariableStrict:
+    def _roundtrip(self, datas, spec, block_size, **kw):
+        payload_list = [
+            oracle.encode_bytes(d, spec) for d in datas
+        ]
+        n = len(payload_list)
+        kw.setdefault("group", 128)
+        group = kw["group"]
+        N = ((n + group - 1) // group) * group
+        pb = max((len(p) for p in payload_list), default=1)
+        payloads = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        for i, p in enumerate(payload_list):
+            payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        words, counts, totals, errs, err_codes, strict = (
+            decode_pallas.decode_pass1_variable_tpu(
+                payloads, plens, spec, block_size, interpret=True, **kw
+            )
+        )
+        assert strict[:n].all(), "strict streams misdetected"
+        assert not np.asarray(errs)[:n].any()
+        out, lengths = get_runtime().apply_words(
+            np.asarray(words)[:n], block_size
+        )
+        assert (lengths == np.asarray(totals)[:n]).all()
+        return [out[i, : lengths[i]].tobytes() for i in range(n)]
+
+    @pytest.mark.parametrize("spec", [LzwSpec.gif(7), LzwSpec.tiff(),
+                                      LzwSpec.gif(2)],
+                             ids=["gif7", "tiff", "gif2"])
+    def test_random(self, spec):
+        if not native_available():
+            pytest.skip("native runtime unavailable")
+        rng = np.random.default_rng(0)
+        hi = 1 << spec.code_size
+        datas = [
+            rng.integers(0, hi, size=int(rng.integers(0, 129))).astype(
+                np.uint8
+            ).tobytes()
+            for _ in range(8)
+        ] + [bytes([1] * 100)]
+        got = self._roundtrip(datas, spec, 128, cell=64, seg=64)
+        for i, d in enumerate(datas):
+            assert got[i] == d, f"block {i}"
+
+    @pytest.mark.slow
+    def test_dictionary_reset(self):
+        if not native_available():
+            pytest.skip("native runtime unavailable")
+        spec = LzwSpec.variable(8, Endianness.LITTLE)
+        rng = np.random.default_rng(5)
+        datas = [rng.integers(0, 256, size=4096).astype(np.uint8).tobytes()]
+        got = self._roundtrip(datas, spec, 4096, cell=512, seg=512)
+        assert got[0] == datas[0]
+
+    def test_nonstrict_flagged(self):
+        spec = LzwSpec.gif(2)
+        cw = [(4, 3), (0, 3), (4, 3), (0, 3), (5, 3)]  # early CLEAR
+        enc = oracle.pack_codes(cw, spec.endianness)
+        payloads = np.zeros((128, 4), np.uint8)
+        payloads[0, : len(enc)] = np.frombuffer(enc, np.uint8)
+        plens = np.zeros(128, np.int32)
+        plens[0] = len(enc)
+        *_, strict = decode_pallas.decode_pass1_variable_tpu(
+            payloads, plens, spec, 128, interpret=True, group=128,
+            cell=64, seg=64,
+        )
+        assert not strict[0]
