@@ -25,7 +25,7 @@ import numpy as np
 
 ASSETS = pathlib.Path(__file__).resolve().parent / "test-assets"
 BASELINE_FIXED12_ENCODE = 120 * (1 << 20)  # bytes/s, reference README.md:27
-CORPUS_MB = 64
+CORPUS_MB = 16
 
 
 def _corpus(target_bytes: int) -> bytes:
@@ -48,7 +48,11 @@ def main() -> None:
     from lzw_tpu.parallel.block import BlockParallelCodec
     from lzw_tpu.spec import Endianness, LzwSpec
 
+    def note(msg):
+        print(f"# {msg}", file=sys.stderr, flush=True)
+
     n_dev = len(jax.devices())
+    note(f"devices: {n_dev}")
     spec = LzwSpec.fixed(Endianness.LITTLE)
     B = encode_pallas.BLOCK_SIZE
 
@@ -71,24 +75,29 @@ def main() -> None:
 
     if f is not None:
         dl = jnp.asarray(lens)
-        out = f(jnp.asarray(blocks), dl)
-        jax.block_until_ready(out)  # compile
+        note("uploading corpus once")
+        db = jnp.asarray(blocks)
+        np.asarray(db[0, :4])  # force the upload (block_until_ready is
+        # asynchronous through the dev relay; only host fetches synchronize)
+        note("compiling main batch shape")
+        bufs, lengths = f(db, dl)
+        np.asarray(lengths)
+        note("compiled; timing")
         best = float("inf")
         for rep in range(3):
-            # Fresh host upload per rep (one byte perturbed) so the dev
-            # relay cannot serve a cached execution; upload excluded from
-            # the timed region, and fetching the small lengths vector forces
-            # true completion.
-            var = np.array(blocks)
-            var[0, 0] = (rep + 1) % 251
-            db = jnp.asarray(var)
-            jax.block_until_ready(db)
+            # Device-side one-byte perturbation defeats any execution
+            # caching without re-uploading the corpus; the timed region ends
+            # at a small host fetch, which is what actually synchronizes.
+            dvar = db.at[0, 0].set((rep + 1) % 251)
+            np.asarray(dvar[0, :4])
             t0 = time.perf_counter()
-            bufs, lengths = f(db, dl)
+            bufs, lengths = f(dvar, dl)
             np.asarray(lengths)
             best = min(best, time.perf_counter() - t0)
+            note(f"rep {rep}: {time.perf_counter() - t0:.3f}s")
         rate = N * B / best
 
+        note(f"timed: {best:.3f}s best-of-3")
         # Correctness gate: container round-trip on a slice through the full
         # host pipeline, decoded with the independent native runtime.
         codec = BlockParallelCodec(spec, block_size=B)
@@ -105,6 +114,7 @@ def main() -> None:
             [bytes(p) for p in payloads], spec, B
         )
         assert out == slice_, "round-trip mismatch"
+        note("round-trip gate passed")
         e2e_rate = len(slice_) / e2e
     else:
         t0 = time.perf_counter()
