@@ -25,7 +25,7 @@ import numpy as np
 
 ASSETS = pathlib.Path(__file__).resolve().parent / "test-assets"
 BASELINE_FIXED12_ENCODE = 120 * (1 << 20)  # bytes/s, reference README.md:27
-CORPUS_MB = 16
+CORPUS_MB = 32
 
 
 def _corpus(target_bytes: int) -> bytes:

@@ -22,7 +22,6 @@ Design notes (TPU-first):
 
 from __future__ import annotations
 
-import io
 from typing import BinaryIO
 
 import numpy as np

@@ -23,7 +23,7 @@ import functools
 
 import numpy as np
 
-from lzw_tpu.spec import LzwSpec, MAX_TABLE_SIZE, MAX_WIDTH
+from lzw_tpu.spec import LzwSpec, MAX_WIDTH
 
 __all__ = ["Schedule", "emission_schedule", "pack_variable", "unpack_variable"]
 
@@ -173,7 +173,6 @@ def pack_variable(dense, counts, spec: LzwSpec, fix_eoi: bool = True, xp=np):
         out, xp.full((N,), clear, dtype=xp.int32), spec.initial_width, 0
     )
 
-    ordinals = xp.arange(S, dtype=xp.int32)
     counts = counts.astype(xp.int32)
 
     # Data-code segments: constant width, consecutive bit positions.  A

@@ -30,7 +30,6 @@ Semantic corners intentionally preserved:
 from __future__ import annotations
 
 from lzw_tpu.spec import (
-    CodeSizeError,
     Endianness,
     LzwSpec,
     MAX_TABLE_SIZE,

@@ -16,7 +16,6 @@ standard XLA answer to ragged outputs.
 from __future__ import annotations
 
 import math
-from functools import partial
 
 import numpy as np
 
