@@ -23,15 +23,23 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
-__all__ = ["compact_columns_jax", "shift_columns_jax"]
+__all__ = ["compact_columns_jax", "shift_columns_jax", "_tpu_roll"]
 
 
-def _roll_down(x, k: int):
-    """Roll axis 0 downward by static k (element j <- element j+k, wrap)."""
-    return jnp.roll(x, -k, axis=0)
+def _default_roll(x, shift: int):
+    return jnp.roll(x, shift, axis=0)
 
 
-def _cumsum0(x):
+def _tpu_roll(x, shift: int):
+    """Native Mosaic roll.  NOTE: currently crashes the remote TPU compiler
+    (HTTP 500 in tpu_compile_helper) when used inside the compact encoder
+    kernel; kept for experimentation, not used by default."""
+    from jax.experimental.pallas import tpu as pltpu
+
+    return pltpu.roll(x, shift % x.shape[0], axis=0)
+
+
+def _cumsum0(x, roll=_default_roll):
     """Inclusive prefix sum along axis 0 via log-step shift-adds.
 
     Mosaic has no cumsum primitive; this is the Hillis-Steele scan from
@@ -41,13 +49,13 @@ def _cumsum0(x):
     row = jax.lax.broadcasted_iota(jnp.int32, x.shape, 0)
     k = 1
     while k < S:
-        shifted = jnp.where(row >= k, jnp.roll(x, k, axis=0), 0)
+        shifted = jnp.where(row >= k, roll(x, k), 0)
         x = x + shifted
         k *= 2
     return x
 
 
-def compact_columns_jax(values, valid, fill=0):
+def compact_columns_jax(values, valid, fill=0, roll=_default_roll):
     """Stable per-column compaction of ``values[S, ...]`` by ``valid[S, ...]``.
 
     Operates along axis 0 with any trailing shape (each trailing index is an
@@ -58,7 +66,7 @@ def compact_columns_jax(values, valid, fill=0):
     S = values.shape[0]
     # Displacement of each valid element = number of holes strictly before it.
     holes = (~valid).astype(jnp.int32)
-    holes_before = _cumsum0(holes) - holes
+    holes_before = _cumsum0(holes, roll) - holes
     disp = jnp.where(valid, holes_before, 0)
     vals = jnp.where(valid, values, fill)
     alive = valid
@@ -68,9 +76,9 @@ def compact_columns_jax(values, valid, fill=0):
         k = 1 << b
         # An element with bit b set in its remaining displacement moves up
         # (towards row 0) by k.  Destination row j receives source row j+k.
-        src_vals = _roll_down(vals, k)
-        src_alive = _roll_down(alive, k)
-        src_disp = _roll_down(disp, k)
+        src_vals = roll(vals, -k)
+        src_alive = roll(alive, -k)
+        src_disp = roll(disp, -k)
         take = src_alive & ((src_disp & k) != 0)
         # Current occupant stays only if it doesn't move itself.
         stay = alive & ((disp & k) == 0)
@@ -84,7 +92,7 @@ def compact_columns_jax(values, valid, fill=0):
     return vals, counts
 
 
-def shift_columns_jax(values, shifts, fill=0):
+def shift_columns_jax(values, shifts, fill=0, roll=_default_roll):
     """Shift each column of ``values[S, ...]`` DOWN by its own ``shifts[...]``.
 
     Row j of the result holds the source row ``j - shifts[...]`` (fill where
@@ -97,7 +105,7 @@ def shift_columns_jax(values, shifts, fill=0):
     b = 0
     while (1 << b) < S:
         k = 1 << b
-        moved = jnp.roll(out, k, axis=0)  # row j <- row j-k
+        moved = roll(out, k)  # row j <- row j-k
         bit = (shifts & k) != 0
         out = jnp.where(bit[None], moved, out)
         b += 1
