@@ -15,9 +15,11 @@ Design notes (TPU-first):
 
 * Inputs are padded to power-of-two buckets so each distinct wire format
   compiles a handful of programs total, then serves any input size.
-* ``backend="jax"`` (default) drives the jittable codecs; ``backend="oracle"``
-  runs the scalar reference oracle (useful for debugging and differential
-  tests).  Results are identical.
+* ``backend="auto"`` (default) picks per environment: the native C++ runtime
+  when available (fastest for single streams — the XLA codecs are built for
+  CPU portability and the Pallas kernels for the *block* container, not raw
+  single streams), else the jittable XLA codecs.  ``backend="jax"`` and
+  ``backend="oracle"`` force those paths; all backends are byte-identical.
 """
 
 from __future__ import annotations
@@ -51,11 +53,19 @@ def _bucket(n: int, lo: int = 256) -> int:
 class LzwCodec:
     """Encode/decode one LZW wire format described by an :class:`LzwSpec`."""
 
-    def __init__(self, spec: LzwSpec, backend: str = "jax"):
-        if backend not in ("jax", "oracle"):
+    def __init__(self, spec: LzwSpec, backend: str = "auto"):
+        if backend not in ("auto", "jax", "oracle", "native"):
             raise ValueError(f"unknown backend {backend!r}")
         spec.validate()
         self.spec = spec
+        if backend == "auto":
+            from lzw_tpu.native.runtime import native_available
+
+            backend = "native" if native_available() else "jax"
+        if backend == "native":
+            from lzw_tpu.native.runtime import get_runtime
+
+            self._native = get_runtime()
         self.backend = backend
 
     # ---- bytes API -----------------------------------------------------------
@@ -65,6 +75,8 @@ class LzwCodec:
         data = _as_bytes(data)
         if self.backend == "oracle":
             return _oracle.encode_bytes(data, self.spec)
+        if self.backend == "native":
+            return self._native.encode(data, self.spec)
         return self._encode_jax(data)
 
     def decode(self, data: bytes | bytearray | memoryview | np.ndarray) -> bytes:
@@ -72,6 +84,8 @@ class LzwCodec:
         data = _as_bytes(data)
         if self.backend == "oracle":
             return _oracle.decode_bytes(data, self.spec)
+        if self.backend == "native":
+            return self._native.decode(data, self.spec)
         return self._decode_jax(data)
 
     # ---- stream API (reference's Read -> Write shape) ------------------------
@@ -146,14 +160,14 @@ class LzwCodec:
 class GifCodec(LzwCodec):
     """GIF-style LZW: caller code size 2..=8, LSB-first, default strategy."""
 
-    def __init__(self, code_size: int, backend: str = "jax"):
+    def __init__(self, code_size: int, backend: str = "auto"):
         super().__init__(LzwSpec.gif(code_size), backend)
 
 
 class TiffCodec(LzwCodec):
     """TIFF-style LZW: code size 8, MSB-first, early-change widths."""
 
-    def __init__(self, backend: str = "jax"):
+    def __init__(self, backend: str = "auto"):
         super().__init__(LzwSpec.tiff(), backend)
 
 
@@ -161,7 +175,7 @@ class FixedCodec(LzwCodec):
     """Original fixed 12-bit LZW: byte alphabet, no control codes."""
 
     def __init__(self, endianness: Endianness = Endianness.LITTLE,
-                 backend: str = "jax"):
+                 backend: str = "auto"):
         super().__init__(LzwSpec.fixed(endianness), backend)
 
 
@@ -173,7 +187,7 @@ class VariableCodec(LzwCodec):
         code_size: int,
         endianness: Endianness,
         strategy: CodeSizeStrategy = CodeSizeStrategy.DEFAULT,
-        backend: str = "jax",
+        backend: str = "auto",
     ):
         super().__init__(LzwSpec.variable(code_size, endianness, strategy), backend)
 

@@ -123,3 +123,23 @@ class TestBucketing:
         for n in (0, 1, 255, 256, 257, 511, 513):
             data = bytes(i % 128 for i in range(n))
             assert codec.decode(codec.encode(data)) == data
+
+
+class TestBackendDispatch:
+    def test_auto_matches_jax(self, lorem_ipsum, lorem_ipsum_encoded):
+        auto = GifCodec(7)  # auto -> native when the toolchain is present
+        assert auto.encode(lorem_ipsum) == lorem_ipsum_encoded
+        assert auto.decode(lorem_ipsum_encoded) == lorem_ipsum
+
+    def test_native_backend_explicit(self):
+        from lzw_tpu.native.runtime import native_available
+
+        if not native_available():
+            pytest.skip("native runtime unavailable")
+        codec = TiffCodec(backend="native")
+        data = b"native backend dispatch" * 10
+        assert codec.decode(codec.encode(data)) == data
+
+    def test_unknown_backend_rejected(self):
+        with pytest.raises(ValueError):
+            GifCodec(7, backend="cuda")
