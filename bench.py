@@ -75,10 +75,17 @@ def main() -> None:
 
     if f is not None:
         dl = jnp.asarray(lens)
-        note("uploading corpus once")
-        db = jnp.asarray(blocks)
-        np.asarray(db[0, :4])  # force the upload (block_until_ready is
-        # asynchronous through the dev relay; only host fetches synchronize)
+        note("uploading corpus once (4 MiB chunks; large single transfers "
+             "crawl through the dev relay)")
+        CHUNK_ROWS = (4 << 20) // B
+        parts = []
+        for i in range(0, N, CHUNK_ROWS):
+            p = jnp.asarray(blocks[i : i + CHUNK_ROWS])
+            np.asarray(p[0, :4])  # force each chunk (block_until_ready is
+            # asynchronous through the dev relay; only host fetches sync)
+            parts.append(p)
+        db = jnp.concatenate(parts, axis=0)
+        np.asarray(db[0, :4])
         note("compiling main batch shape")
         bufs, lengths = f(db, dl)
         np.asarray(lengths)

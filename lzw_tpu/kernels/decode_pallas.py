@@ -44,8 +44,8 @@ from jax.experimental.pallas import tpu as pltpu
 from lzw_tpu.spec import MAX_TABLE_SIZE
 
 __all__ = [
-    "decode_pass1_fixed_tpu", "decode_pass1_variable_tpu", "unpack12",
-    "KIND_COPY", "KIND_LIT", "KIND_HOLE",
+    "decode_pass1_fixed_tpu", "decode_pass1_variable_tpu",
+    "decode_pass2_device", "unpack12", "KIND_COPY", "KIND_LIT", "KIND_HOLE",
 ]
 
 GROUP = 1024
@@ -84,21 +84,23 @@ def unpack12(payloads, plens, little: bool):
 def _make_kernel(seg: int, variable_spec=None):
     def kernel(codes_ref, ncodes_ref, *rest):
         if variable_spec is None:
-            words_ref, stats_ref, attr_ref, src_ref, state_ref = rest
+            words_ref, pair_ref, stats_ref, attr_ref, src_ref, state_ref = rest
             sched_ref = None
         else:
             sched_ref = rest[0]
-            words_ref, stats_ref, attr_ref, src_ref, state_ref = rest[1:]
+            (words_ref, pair_ref, stats_ref, attr_ref, src_ref,
+             state_ref) = rest[1:]
         return _decode_kernel(
-            codes_ref, ncodes_ref, sched_ref, words_ref, stats_ref, attr_ref,
-            src_ref, state_ref, seg, variable_spec,
+            codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref, stats_ref,
+            attr_ref, src_ref, state_ref, seg, variable_spec,
         )
 
     return kernel
 
 
-def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, stats_ref,
-                   attr_ref, src_ref, state_ref, SEG, variable_spec):
+def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
+                   stats_ref, attr_ref, src_ref, state_ref, SEG,
+                   variable_spec):
     """Grid: (groups, cells); step-indexed tables persist across cells.
 
     For variable flavors (strict schedule streams), ``sched_ref`` carries
@@ -118,7 +120,7 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, stats_ref,
     def _init():
         attr_ref[:] = jnp.zeros(attr_ref.shape, jnp.int32)
         src_ref[:] = jnp.zeros(src_ref.shape, jnp.int32)
-        for r in range(6):
+        for r in range(7):
             state_ref[r] = jnp.zeros((sub, 128), jnp.int32)
         state_ref[3] = jnp.full((sub, 128), alphabet + 2 if variable
                                 else FIRST_FREE, jnp.int32)  # next
@@ -128,7 +130,7 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, stats_ref,
     n_segs = jnp.minimum((base + cell + SEG - 1) // SEG, T_ROWS // SEG)
 
     def step(j, carry):
-        prev_len, prev_first, off, nxt, err, err_code = carry
+        prev_len, prev_first, off, nxt, err, err_code, prev_code = carry
         t = base + j
         code = codes_ref[0, j]
         active = (t < ncodes) & (err == 0)
@@ -204,16 +206,21 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, stats_ref,
             ins, (nxt << 20) | (prev_first << 12) | (prev_len + 1), 0
         )
         src_ref[base + j] = jnp.where(ins, (nxt << 13) | (off - prev_len), 0)
+        # Chain-walk table for the device pass 2: code | prefix | suffix.
+        pair_ref[0, j] = jnp.where(
+            ins, (nxt << 20) | (prev_code << 8) | first, 0
+        )
         nxt = nxt + ins.astype(jnp.int32)
 
         off = off + jnp.where(ok, length, 0)
         prev_len = jnp.where(ok, length, prev_len)
         prev_first = jnp.where(ok, first, prev_first)
-        return prev_len, prev_first, off, nxt, err, err_code
+        prev_code = jnp.where(ok, code, prev_code)
+        return prev_len, prev_first, off, nxt, err, err_code, prev_code
 
-    carry = tuple(state_ref[r] for r in range(6))
+    carry = tuple(state_ref[r] for r in range(7))
     carry = jax.lax.fori_loop(0, cell, step, carry)
-    for r in range(6):
+    for r in range(7):
         state_ref[r] = carry[r]
 
     @pl.when(last_cell)
@@ -259,7 +266,7 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
     x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
     nc = n_codes.reshape(G, 1, sub, 128)
 
-    words, stats = pl.pallas_call(
+    words, pair, stats = pl.pallas_call(
         _make_kernel(seg, None),
         grid=(G, S // cell),
         in_specs=[
@@ -268,16 +275,18 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
         ],
         out_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
             pl.BlockSpec((1, 8, sub, 128), lambda g, c: (g, 0, 0, 0)),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((G, S, sub, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, S, sub, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, sub, 128), jnp.int32),
             pltpu.VMEM((S, sub, 128), jnp.int32),
-            pltpu.VMEM((6, sub, 128), jnp.int32),
+            pltpu.VMEM((7, sub, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -287,7 +296,7 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
 
     words = words.reshape(G, S, group).transpose(0, 2, 1).reshape(N, S)
     stats = stats.reshape(G, 8, group).transpose(0, 2, 1).reshape(N, 8)
-    return words, n_codes, stats[:, 0], stats[:, 1], stats[:, 2]
+    return words, n_codes, stats[:, 0], stats[:, 1], stats[:, 2], (pair, codes)
 
 
 @functools.partial(
@@ -300,7 +309,7 @@ def _variable_pass1(codes, n_codes, sched, spec, interpret, group, cell, seg):
     G = N // group
     x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
     nc = n_codes.reshape(G, 1, sub, 128)
-    words, stats = pl.pallas_call(
+    words, pair, stats = pl.pallas_call(
         _make_kernel(seg, spec.alphabet_size),
         grid=(G, S // cell),
         in_specs=[
@@ -311,16 +320,18 @@ def _variable_pass1(codes, n_codes, sched, spec, interpret, group, cell, seg):
         ],
         out_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
             pl.BlockSpec((1, 8, sub, 128), lambda g, c: (g, 0, 0, 0)),
         ],
         out_shape=[
+            jax.ShapeDtypeStruct((G, S, sub, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, S, sub, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
         ],
         scratch_shapes=[
             pltpu.VMEM((S, sub, 128), jnp.int32),
             pltpu.VMEM((S, sub, 128), jnp.int32),
-            pltpu.VMEM((6, sub, 128), jnp.int32),
+            pltpu.VMEM((7, sub, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -329,7 +340,7 @@ def _variable_pass1(codes, n_codes, sched, spec, interpret, group, cell, seg):
     )(x, nc, sched)
     words = words.reshape(G, S, group).transpose(0, 2, 1).reshape(N, S)
     stats = stats.reshape(G, 8, group).transpose(0, 2, 1).reshape(N, 8)
-    return words, stats
+    return words, stats, pair
 
 
 def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
@@ -367,8 +378,148 @@ def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
     sched_arr[0, :] = (sched.nxt_of[:S] - 1).astype(np.int32)
     sched_arr[1, :] = sched.epoch_start[:S].astype(np.int32)
 
-    words, stats = _variable_pass1(
+    words, stats, pair = _variable_pass1(
         jnp.asarray(dense), jnp.asarray(counts.astype(np.int32)),
         jnp.asarray(sched_arr), spec, interpret, group, cell, seg,
     )
     return (words, counts, stats[:, 0], stats[:, 1], stats[:, 2], strict)
+
+
+# --------------------------------------------------------------------------- #
+# Device pass 2: continuous backwards chain walk                              #
+# --------------------------------------------------------------------------- #
+#
+# Each lane walks its block's words from LAST to FIRST: within a word the
+# suffix chain naturally yields bytes back-to-front, and words are visited in
+# reverse, so the emission stream is exactly the block's output REVERSED —
+# positions never need to be materialized, and final assembly is a flip plus
+# one per-lane shift (scatter-free).  Per round, two compare-scans serve all
+# 1024 lanes: the word table (implicit: row<<12|code over the code stream)
+# yields the next word's head code, and the pair table yields
+# (prefix, suffix) of the current chain node.
+#
+# This is the all-device alternative to the native copy-apply pass 2 — it
+# keeps the whole decode on the chip (useful when the host must stay out of
+# the data path); the hybrid remains the throughput default.
+
+
+def _make_pass2_kernel(seg: int, alphabet: int):
+    def kernel(codes_ref, pair_ref, meta_ref, out_ref, state_ref):
+        c = pl.program_id(1)
+        sub = pair_ref.shape[2]
+        cell = out_ref.shape[1]
+
+        @pl.when(c == 0)
+        def _init():
+            state_ref[0] = meta_ref[0, 0] - 1  # word index, walked down
+            state_ref[1] = jnp.full((sub, 128), -1, jnp.int32)  # chain node
+
+        ROW0 = jax.lax.broadcasted_iota(jnp.int32, (seg, sub, 128), 0)
+        n_segs = (jnp.max(meta_ref[0, 0]) + seg - 1) // seg
+
+        def round_step(j, carry):
+            w, cur = carry  # (sub, 128)
+            need = (cur < 0) & (w >= 0)
+
+            # Word-table scan: entry (row<<12 | code) matches row == w.
+            wbase = w << 12
+
+            def scan_words(s, acc):
+                seg_codes = codes_ref[0, pl.ds(s * seg, seg)]
+                ent = ((ROW0 + s * seg) << 12) | seg_codes
+                d = ent - wbase[None]
+                sel = jnp.where((d >= 0) & (d < 4096), d, -1)
+                return jnp.maximum(acc, jnp.max(sel, axis=0))
+
+            neg = jnp.full((sub, 128), -1, jnp.int32)
+            head = jax.lax.fori_loop(0, n_segs, scan_words, neg)
+            cur = jnp.where(need, head, cur)
+
+            active = cur >= 0
+            root = active & (cur < alphabet)
+
+            # Pair-table scan: entry code<<20 | prefix<<8 | suffix.
+            pbase = cur << 20
+
+            def scan_pairs(s, acc):
+                seg_rows = pair_ref[0, pl.ds(s * seg, seg)]
+                d = seg_rows - pbase[None]
+                sel = jnp.where((d >= 0) & (d < (1 << 20)), d, -1)
+                return jnp.maximum(acc, jnp.max(sel, axis=0))
+
+            pd = jax.lax.fori_loop(0, n_segs, scan_pairs, neg)
+
+            byte = jnp.where(root, cur, pd & 0xFF)
+            out_ref[0, j] = jnp.where(active, byte, 0)
+
+            w = jnp.where(root, w - 1, w)
+            cur = jnp.where(
+                root, -1, jnp.where(active, pd >> 8, cur)
+            )
+            return w, cur
+
+        w, cur = jax.lax.fori_loop(
+            0, cell, round_step, (state_ref[0], state_ref[1])
+        )
+        state_ref[0] = w
+        state_ref[1] = cur
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "alphabet", "interpret", "group", "cell",
+                     "seg"),
+)
+def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
+                        alphabet: int = 256, interpret: bool = False,
+                        group: int = GROUP, cell: int = CELL, seg: int = 512):
+    """All-device pass 2: copy-free chain walk -> decoded bytes.
+
+    Args:
+      codes: i32[N, S] aligned wire codes (pass-1 input layout).
+      pair:  i32[G, S, sub, 128] pair table from pass 1.
+      n_codes/totals: i32[N].
+    Returns u8[N, block_size] decoded blocks (zero past totals).
+    """
+    import numpy as np  # noqa: F401  (kept for parity with sibling wrappers)
+
+    N, S = codes.shape
+    sub = group // 128
+    G = N // group
+    R = ((block_size + cell - 1) // cell) * cell
+
+    x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
+    meta = n_codes.reshape(G, 1, sub, 128)
+
+    rev = pl.pallas_call(
+        _make_pass2_kernel(seg, alphabet),
+        grid=(G, R // cell),
+        in_specs=[
+            pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+        out_shape=jax.ShapeDtypeStruct((G, R, sub, 128), jnp.int32),
+        scratch_shapes=[pltpu.VMEM((2, sub, 128), jnp.int32)],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(x, pair, meta)
+
+    # The emission stream is the output reversed per lane: shift each lane
+    # down by (R - total) so its bytes occupy the tail, then a uniform flip
+    # puts byte 0 at row 0.
+    from lzw_tpu.kernels.common import shift_columns_jax
+
+    rev = rev.reshape(G, R, group)
+    shifts = (R - totals.reshape(G, group)).astype(jnp.int32)
+    shifted = jax.vmap(lambda v, s: shift_columns_jax(v, s, fill=0))(
+        rev, shifts
+    )
+    out = jnp.flip(shifted, axis=1)
+    out = out.transpose(0, 2, 1).reshape(N, R)[:, :block_size]
+    return out.astype(jnp.uint8)

@@ -256,7 +256,7 @@ class BlockParallelCodec:
             from lzw_tpu.kernels.decode_pallas import decode_pass1_fixed_tpu
             from lzw_tpu.spec import Endianness
 
-            words, _, totals, errs, err_codes = decode_pass1_fixed_tpu(
+            words, _, totals, errs, err_codes, _pair = decode_pass1_fixed_tpu(
                 jnp.asarray(comp), jnp.asarray(clens), self.block_size,
                 little=self.spec.endianness is Endianness.LITTLE,
             )

@@ -35,7 +35,7 @@ def main():
         plens[i] = len(p)
     print(f"compressed {sum(plens)/2**20:.1f} MiB in {N} blocks", flush=True)
 
-    f = jax.jit(lambda p, l: decode_pallas.decode_pass1_fixed_tpu(p, l, B))
+    f = jax.jit(lambda p, l: decode_pallas.decode_pass1_fixed_tpu(p, l, B)[:5])
     dl = jnp.asarray(plens)
     out = f(jnp.asarray(payloads), dl)
     jax.block_until_ready(out)

@@ -25,7 +25,7 @@ def decode_via_kernel(payload_list, spec, block_size, group=128, cell=64,
     for i, p in enumerate(payload_list):
         payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
         plens[i] = len(p)
-    words, n_codes, totals, errs, err_codes = decode_pallas.decode_pass1_fixed_tpu(
+    words, n_codes, totals, errs, err_codes, _ = decode_pallas.decode_pass1_fixed_tpu(
         jnp.asarray(payloads), jnp.asarray(plens), block_size,
         little=spec.endianness is Endianness.LITTLE,
         interpret=True, group=group, cell=cell, seg=seg,
@@ -85,7 +85,7 @@ def test_unexpected_code_flagged():
     payloads[0, : len(bad)] = np.frombuffer(bad, np.uint8)
     plens = np.zeros(N, np.int32)
     plens[0] = len(bad)
-    _, _, _, errs, err_codes = decode_pallas.decode_pass1_fixed_tpu(
+    _, _, _, errs, err_codes, _ = decode_pallas.decode_pass1_fixed_tpu(
         jnp.asarray(payloads), jnp.asarray(plens), 128,
         interpret=True, group=128, cell=64, seg=64,
     )
@@ -172,3 +172,51 @@ class TestVariableStrict:
             cell=64, seg=64,
         )
         assert not strict[0]
+
+
+class TestDevicePass2:
+    def _roundtrip(self, datas, spec, block_size, group=128, cell=64, seg=64):
+        payload_list = [oracle.encode_bytes(d, spec) for d in datas]
+        n = len(payload_list)
+        N = ((n + group - 1) // group) * group
+        pb = max((len(p) for p in payload_list), default=1)
+        pb = ((pb + 2) // 3) * 3
+        payloads = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        for i, p in enumerate(payload_list):
+            payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        words, n_codes, totals, errs, _, (pair, codes) = (
+            decode_pallas.decode_pass1_fixed_tpu(
+                jnp.asarray(payloads), jnp.asarray(plens), block_size,
+                little=spec.endianness is Endianness.LITTLE,
+                interpret=True, group=group, cell=cell, seg=seg,
+            )
+        )
+        assert not np.asarray(errs)[:n].any()
+        out = decode_pallas.decode_pass2_device(
+            codes, pair, n_codes, totals, block_size,
+            interpret=True, group=group, cell=cell, seg=seg,
+        )
+        out = np.asarray(out)
+        totals = np.asarray(totals)
+        return [out[i, : totals[i]].tobytes() for i in range(n)]
+
+    def test_random_all_device(self):
+        rng = np.random.default_rng(3)
+        datas = [
+            rng.integers(0, 256, size=int(rng.integers(0, 129))).astype(
+                np.uint8
+            ).tobytes()
+            for _ in range(8)
+        ] + [bytes([9] * 100), (b"zqzqzq" * 22)[:128]]
+        got = self._roundtrip(datas, FIXED_LE, 128)
+        for i, d in enumerate(datas):
+            assert got[i] == d, f"block {i}"
+
+    @pytest.mark.slow
+    def test_full_block_all_device(self):
+        rng = np.random.default_rng(6)
+        datas = [rng.integers(0, 64, size=4096).astype(np.uint8).tobytes()]
+        got = self._roundtrip(datas, FIXED_LE, 4096, cell=512, seg=512)
+        assert got[0] == datas[0]
