@@ -9,3 +9,10 @@ line rate: elementwise ops, broadcasts, reductions, uniform dynamic slices
 "pointer" operations are reformulated as masked compare-scans and log-step
 roll/select passes.
 """
+
+# Kernel compiles through the dev relay take seconds to minutes; the
+# persistent cache makes warm-process compiles sub-second.
+from lzw_tpu.utils.cache import enable_compilation_cache as _ecc
+
+_ecc()
+del _ecc
