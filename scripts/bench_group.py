@@ -45,7 +45,6 @@ def run(group, cell, N=4096, B=4096, compact=False):
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    run(1024, 512, compact=True)
-    run(1024, 256, compact=True)
-    run(2048, 256, compact=True)
-    run(1024, 512, compact=False)
+    run(1024, 512, N=8192)
+    run(2048, 512, N=8192)
+    run(2048, 256, N=8192)
