@@ -73,6 +73,108 @@ def _make_kernel(seg: int, spec_key):
     return kernel
 
 
+def _make_kernel_bucket(seg: int):
+    """Fixed-flavor kernel with bucketed table compaction.
+
+    Inserts stay step-indexed within the current cell; at each cell boundary
+    the cell's rows are hole-compacted IN PLACE (log-step rolls over one
+    small [cell] window — compile-light, unlike cross-cell shifts) and the
+    per-cell entry count goes to an SMEM table.  Lookups then scan past
+    cells only up to their recorded counts: scan work tracks the miss count
+    (~0.45x of steps on the image corpus) instead of the step count, and
+    post-freeze cells cost nothing."""
+
+    def kernel(x_ref, len_ref, out_ref, err_ref, dtab_ref, cnt_ref,
+               state_ref):
+        c = pl.program_id(1)
+        last_cell = c == pl.num_programs(1) - 1
+        cell = x_ref.shape[1]
+        sub = dtab_ref.shape[1]
+
+        @pl.when(c == 0)
+        def _init():
+            dtab_ref[:] = jnp.full(dtab_ref.shape, HOLE, jnp.int32)
+            state_ref[0] = jnp.zeros((sub, 128), jnp.int32)  # prefix
+            state_ref[1] = jnp.full((sub, 128), FIRST_FREE, jnp.int32)
+
+        lens = len_ref[0, 0]
+        base = c * cell
+
+        def step(j, carry):
+            prefix, nxt = carry
+            i = base + j
+            k = x_ref[0, j]
+            active = i < lens
+            final = (i == lens) & (lens > 0)
+            is_first = i == 0
+
+            key = prefix * 256 + k
+            tbase = (key << 12) + FIRST_FREE
+            neg = jnp.full((sub, 128), -1, jnp.int32)
+
+            # Past cells: scan only their compacted entry counts.
+            def scan_cell(c2, acc):
+                cnt = cnt_ref[c2]
+                n_seg2 = (cnt + seg - 1) // seg
+
+                def scan_seg(s, acc2):
+                    rows = dtab_ref[pl.ds(c2 * cell + s * seg, seg)]
+                    d = rows - tbase[None]
+                    sel = jnp.where((d >= 0) & (d < DYN_CODES), d, -1)
+                    return jnp.maximum(acc2, jnp.max(sel, axis=0))
+
+                return jax.lax.fori_loop(0, n_seg2, scan_seg, acc)
+
+            matched_d = jax.lax.fori_loop(0, c, scan_cell, neg)
+            # Current cell: raw step-indexed rows (holes never match).
+            cur = dtab_ref[pl.ds(base, cell)]
+            dcur = cur - tbase[None]
+            matched_d = jnp.maximum(
+                matched_d,
+                jnp.max(
+                    jnp.where((dcur >= 0) & (dcur < DYN_CODES), dcur, -1),
+                    axis=0,
+                ),
+            )
+
+            matched = matched_d + FIRST_FREE
+            miss = active & (matched_d < 0) & jnp.logical_not(is_first)
+            hit = active & (matched_d >= 0) & jnp.logical_not(is_first)
+
+            out_ref[0, j] = jnp.where(miss | final, prefix, -1)
+
+            ins = miss & (nxt < MAX_TABLE_SIZE)
+            dtab_ref[base + j] = jnp.where(ins, (key << 12) | nxt, HOLE)
+
+            prefix = jnp.where(
+                active & is_first, k,
+                jnp.where(miss, k, jnp.where(hit, matched, prefix)),
+            )
+            nxt = nxt + ins.astype(jnp.int32)
+            return prefix, nxt
+
+        p, n = jax.lax.fori_loop(0, cell, step, (state_ref[0], state_ref[1]))
+        state_ref[0] = p
+        state_ref[1] = n
+
+        # In-place bucket compaction + per-cell count (max over lanes).
+        from lzw_tpu.kernels.common import compact_columns_jax
+
+        entries = dtab_ref[pl.ds(base, cell)]
+        compacted, cnt = compact_columns_jax(
+            entries, entries != HOLE, fill=HOLE
+        )
+        dtab_ref[pl.ds(base, cell)] = compacted
+        cnt_ref[c] = jnp.max(cnt)
+
+        @pl.when(last_cell)
+        def _finish():
+            err_ref[0, 0] = jnp.zeros((sub, 128), jnp.int32)
+            err_ref[0, 1] = jnp.zeros((sub, 128), jnp.int32)
+
+    return kernel
+
+
 def _make_kernel_compact(seg: int, spec_key):
     def kernel(x_ref, len_ref, out_ref, err_ref, dtab_ref, ctab_ref,
                state_ref):
@@ -354,7 +456,15 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     )
     l = lens.reshape(G, 1, sub, 128)
 
-    if compact:
+    if compact == "bucket":
+        assert spec_key is None, "bucket compaction: fixed flavor only"
+        kernel = _make_kernel_bucket(min(seg, 128))
+        scratch = [
+            pltpu.VMEM((slots, sub, 128), jnp.int32),  # bucketed table
+            pltpu.SMEM((slots // cell + 1,), jnp.int32),  # per-cell counts
+            pltpu.VMEM((2, sub, 128), jnp.int32),
+        ]
+    elif compact:
         kernel = _make_kernel_compact(seg, spec_key)
         scratch = [
             pltpu.VMEM((slots + cell, sub, 128), jnp.int32),  # dense table

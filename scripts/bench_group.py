@@ -45,6 +45,5 @@ def run(group, cell, N=4096, B=4096, compact=False):
 
 if __name__ == "__main__":
     print("devices:", jax.devices(), flush=True)
-    run(1024, 512, N=8192)
-    run(2048, 512, N=8192)
-    run(2048, 256, N=8192)
+    run(2048, 512, N=8192, compact="bucket")
+    run(2048, 512, N=8192, compact=False)

@@ -107,3 +107,45 @@ def test_compact_variant_matches_oracle(spec):
     for i, b in enumerate(blocks):
         got = payloads[i, : lengths[i]].tobytes()
         assert got == oracle.encode_bytes(b, spec), f"block {i}"
+
+
+@pytest.mark.parametrize("spec", [FIXED_LE, FIXED_BE], ids=["le", "be"])
+def test_bucket_variant_matches_oracle(spec):
+    rng = np.random.default_rng(13)
+    blocks = [
+        rng.integers(0, 256, size=int(rng.integers(0, 129))).astype(
+            np.uint8
+        ).tobytes()
+        for _ in range(10)
+    ] + [bytes([5] * 100), (b"pqpqpq" * 22)[:128]]
+    N = 128
+    mat = np.zeros((N, 128), np.uint8)
+    lens = np.zeros(N, np.int32)
+    for i, b in enumerate(blocks):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    payloads, lengths = encode_pallas.encode_blocks_fixed_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), 128,
+        little=spec.endianness is Endianness.LITTLE,
+        interpret=True, group=128, cell=64, seg=64, compact="bucket",
+    )
+    payloads, lengths = np.asarray(payloads), np.asarray(lengths)
+    for i, b in enumerate(blocks):
+        got = payloads[i, : lengths[i]].tobytes()
+        assert got == oracle.encode_bytes(b, spec), f"block {i}"
+
+
+@pytest.mark.slow
+def test_bucket_variant_full_block():
+    rng = np.random.default_rng(14)
+    data = rng.integers(0, 256, size=4096).astype(np.uint8).tobytes()
+    mat = np.zeros((2048, 4096), np.uint8)
+    mat[0] = np.frombuffer(data, np.uint8)
+    lens = np.zeros(2048, np.int32)
+    lens[0] = 4096
+    payloads, lengths = encode_pallas.encode_blocks_fixed_tpu(
+        jnp.asarray(mat[:128]), jnp.asarray(lens[:128]), 4096,
+        interpret=True, group=128, cell=512, seg=512, compact="bucket",
+    )
+    got = np.asarray(payloads)[0, : np.asarray(lengths)[0]].tobytes()
+    assert got == oracle.encode_bytes(data, FIXED_LE)
