@@ -63,7 +63,9 @@ def main() -> None:
 
     if any(d.platform == "tpu" for d in jax.devices()):
         f = jax.jit(
-            lambda b, l: encode_pallas.encode_blocks_fixed_tpu(b, l, B)
+            lambda b, l: encode_pallas.encode_blocks_fixed_tpu(
+                b, l, B, compact="bucket"
+            )
         )
     else:  # CPU fallback: exercise the portable path on a small corpus
         data = data[: 4 << 20]
@@ -74,18 +76,32 @@ def main() -> None:
         f = None
 
     if f is not None:
-        dl = jnp.asarray(lens)
-        note("uploading corpus once (4 MiB chunks; large single transfers "
-             "crawl through the dev relay)")
+        note("uploading corpus (4 MiB chunks; large single transfers crawl "
+             "through the dev relay, and its throughput varies — stop at a "
+             "deadline and bench whatever made it on device)")
+        from lzw_tpu.kernels.encode_pallas import GROUP
+
         CHUNK_ROWS = (4 << 20) // B
+        UPLOAD_DEADLINE_S = 150.0
+        t_up = time.perf_counter()
         parts = []
+        rows = 0
         for i in range(0, N, CHUNK_ROWS):
             p = jnp.asarray(blocks[i : i + CHUNK_ROWS])
             np.asarray(p[0, :4])  # force each chunk (block_until_ready is
             # asynchronous through the dev relay; only host fetches sync)
             parts.append(p)
-        db = jnp.concatenate(parts, axis=0)
+            rows += p.shape[0]
+            if (time.perf_counter() - t_up > UPLOAD_DEADLINE_S
+                    and rows >= GROUP):
+                note(f"upload deadline hit at {rows} blocks")
+                break
+        N = (rows // GROUP) * GROUP
+        db = jnp.concatenate(parts, axis=0)[:N]
+        dl = jnp.asarray(lens[:N])
         np.asarray(db[0, :4])
+        note(f"corpus on device: {N * B / 2**20:.0f} MiB "
+             f"({time.perf_counter() - t_up:.0f}s)")
         note("compiling main batch shape")
         bufs, lengths = f(db, dl)
         np.asarray(lengths)
