@@ -8,20 +8,24 @@ word is either a literal (root code) or a **forward copy of an
 already-decoded output range**, and decoding splits into:
 
 * **Pass 1 (this kernel, sequential per code, O(1) each)**: lockstep over
-  1024 blocks; maintains per-entry (length, first char) and (source offset)
-  in step-indexed tables — inserts are uniform tile stores, lookups are
-  compare-scans with the packed-entry range trick (see encode_pallas) — and
-  emits one copy/literal descriptor per code.
+  1024 blocks; maintains one packed per-entry word (length, first char,
+  source offset) in a step-indexed table and emits one copy/literal
+  descriptor per code.
 * **Pass 2 (host native runtime)**: resolves the copy list with overlapping
   forward byte copies (`lzw_apply_words` in lzw_native.cpp) — pure memory
   plumbing at memcpy speed, threaded across blocks.
 
-Packed-entry formats (ranges chosen so the compare-scan's single
-subtract-and-range-test rejects holes and neighbouring codes exactly):
+Unlike the encoder, the decoder inserts exactly one entry per consumed code
+(`decoder.rs:630-634`), so **the row of a code is a static function of the
+code**: ``row = code - 255`` for fixed-12, ``row = epoch_start + 1 + code -
+first_free`` for strict variable streams.  Lookups therefore need no
+embedded-key compare — the scan matches on the row index (the per-lane
+gather the VPU lacks, expressed as a sum-select) and is bounded each step by
+the min/max target row across the 1024 lanes, which tracks how far back the
+stream actually references instead of the table size.
 
-* attr table: ``code<<20 | first<<12 | length`` (12+8+12 = 32 bits; length of
-  a dynamic entry is >= 2 and <= 4091 < 4096).
-* src table:  ``code<<13 | src`` (12+13 = 25 bits; src <= 4096).
+Packed entry: ``length<<20 | first<<12 | src`` (12+8+12 = 32 bits; length of
+a dynamic entry is >= 2 and <= 4092, src < block_size <= 4096).
 
 Word descriptors (i32): ``kind<<30 | len<<13 | payload`` with kind 0 = copy
 (payload = src), kind 1 = literal (payload = byte), kind 2 = hole.
@@ -46,19 +50,18 @@ from lzw_tpu.spec import MAX_TABLE_SIZE
 __all__ = [
     "decode_pass1_fixed_tpu", "decode_pass1_variable_tpu",
     "decode_pass2_device", "unpack12", "KIND_COPY", "KIND_LIT", "KIND_HOLE",
+    "GROUP", "GROUP_VAR",
 ]
 
-GROUP = 1024
+GROUP = 4096  # fixed-flavor blocks per kernel instance (32 sublanes x 128)
+GROUP_VAR = 2048  # variable flavor: ring table is 4096 rows, keep VMEM sane
 CELL = 512
+SEG = 64  # scan segment rows; small segments keep the row-window tight
 FIRST_FREE = 256
 
 KIND_COPY = 0
 KIND_LIT = 1
 KIND_HOLE = 2
-
-_ATTR_MAX = (255 << 12) | 4095  # valid attr payload window (exclusive bound+1)
-_SRC_MAX = 4096  # valid src payload window bound
-
 
 def unpack12(payloads, plens, little: bool):
     """XLA unpack: 3 bytes -> 2 twelve-bit codes (static reshape math).
@@ -81,27 +84,27 @@ def unpack12(payloads, plens, little: bool):
     return codes, n_codes
 
 
-def _make_kernel(seg: int, variable_spec=None):
+def _make_kernel(seg: int, variable_spec=None, block_size: int = 4096,
+                 ring: bool = False):
     def kernel(codes_ref, ncodes_ref, *rest):
         if variable_spec is None:
-            words_ref, pair_ref, stats_ref, attr_ref, src_ref, state_ref = rest
+            words_ref, pair_ref, stats_ref, tab_ref, state_ref = rest
             sched_ref = None
         else:
             sched_ref = rest[0]
-            (words_ref, pair_ref, stats_ref, attr_ref, src_ref,
-             state_ref) = rest[1:]
+            words_ref, pair_ref, stats_ref, tab_ref, state_ref = rest[1:]
         return _decode_kernel(
             codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref, stats_ref,
-            attr_ref, src_ref, state_ref, seg, variable_spec,
+            tab_ref, state_ref, seg, variable_spec, block_size, ring,
         )
 
     return kernel
 
 
 def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
-                   stats_ref, attr_ref, src_ref, state_ref, SEG,
-                   variable_spec):
-    """Grid: (groups, cells); step-indexed tables persist across cells.
+                   stats_ref, tab_ref, state_ref, SEG, variable_spec,
+                   block_size, ring):
+    """Grid: (groups, cells); the step-indexed table persists across cells.
 
     For variable flavors (strict schedule streams), ``sched_ref`` carries
     per-step static scalars: row 0 the dictionary index assigned at step t
@@ -112,22 +115,22 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
     c = pl.program_id(1)
     last_cell = c == pl.num_programs(1) - 1
     cell = codes_ref.shape[1]
-    T_ROWS, sub = attr_ref.shape[:2]
+    TAB_H, sub = tab_ref.shape[:2]
+    n_phys = TAB_H // SEG
     variable = variable_spec is not None
     alphabet = variable_spec if variable else FIRST_FREE
+    first_free = alphabet + 2 if variable else FIRST_FREE
 
     @pl.when(c == 0)
     def _init():
-        attr_ref[:] = jnp.zeros(attr_ref.shape, jnp.int32)
-        src_ref[:] = jnp.zeros(src_ref.shape, jnp.int32)
+        tab_ref[:] = jnp.zeros(tab_ref.shape, jnp.int32)
         for r in range(7):
             state_ref[r] = jnp.zeros((sub, 128), jnp.int32)
-        state_ref[3] = jnp.full((sub, 128), alphabet + 2 if variable
-                                else FIRST_FREE, jnp.int32)  # next
+        state_ref[3] = jnp.full((sub, 128), first_free, jnp.int32)  # next
 
     ncodes = ncodes_ref[0, 0]
     base = c * cell
-    n_segs = jnp.minimum((base + cell + SEG - 1) // SEG, T_ROWS // SEG)
+    ROW0 = jax.lax.broadcasted_iota(jnp.int32, (SEG, sub, 128), 0)
 
     def step(j, carry):
         prev_len, prev_first, off, nxt, err, err_code, prev_code = carry
@@ -141,6 +144,7 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
             first_step = t == epoch_start
             nxt = jnp.full((sub, 128), 0, jnp.int32) + nxt_sched
         else:
+            epoch_start = 0
             first_step = t == 0
         root = code < alphabet
         kwkwk = code == nxt
@@ -149,41 +153,41 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
         err_code = jnp.where(bad, code, err_code)
         ok = active & jnp.logical_not(bad)
 
-        # Compare-scans for (length, first) and src of arbitrary codes.
-        # Variable flavors scan only the current epoch's step rows (epoch
-        # boundaries are static and uniform across lanes in strict streams).
-        a_base = code << 20
-        if variable:
-            s_lo = epoch_start // SEG
-            ROW0 = jax.lax.broadcasted_iota(jnp.int32, (SEG, sub, 128), 0)
-        else:
-            s_lo = 0
-
-        def scan_attr(s, acc):
-            seg_rows = attr_ref[pl.ds(s * SEG, SEG)]
-            d = seg_rows - a_base[None]
-            sel = (d >= 1) & (d <= _ATTR_MAX)
-            if variable:
-                sel &= (ROW0 + s * SEG) >= epoch_start
-            return jnp.maximum(acc, jnp.max(jnp.where(sel, d, -1), axis=0))
-
-        s_base = code << 13
-
-        def scan_src(s, acc):
-            seg_rows = src_ref[pl.ds(s * SEG, SEG)]
-            d = seg_rows - s_base[None]
-            sel = (d >= 0) & (d <= _SRC_MAX)
-            if variable:
-                sel &= (ROW0 + s * SEG) >= epoch_start
-            return jnp.maximum(acc, jnp.max(jnp.where(sel, d, -1), axis=0))
-
-        neg = jnp.full((sub, 128), -1, jnp.int32)
-        attr_d = jax.lax.fori_loop(s_lo, n_segs, scan_attr, neg)
-        src_d = jax.lax.fori_loop(s_lo, n_segs, scan_src, neg)
-        len_c = attr_d & 0xFFF
-        first_c = attr_d >> 12
-
+        # Table read.  The decoder inserts exactly one entry per step, so
+        # code c lives at the *statically known* step
+        # ``epoch_start + 1 + c - first_free`` — the lookup is a per-lane
+        # gather at that row, expressed as a row-index-matched sum-select
+        # over the [min, max] target-row window of the lockstep lanes.
+        # Variable tables are rings (row = step % TAB_H): an epoch spans
+        # fewer than 4096 steps, so live entries never collide and old
+        # epochs are overwritten for free; strict streams share one static
+        # schedule, so in-window targets stay unique mod TAB_H.
         is_lit = first_step | root
+        lookup = ok & jnp.logical_not(is_lit) & jnp.logical_not(kwkwk)
+        target = jnp.where(lookup, epoch_start + 1 + code - first_free, 0)
+        tmax = jnp.max(target)
+        tmin = jnp.min(jnp.where(lookup, target, jnp.int32(0x7FFFFFFF)))
+        s_lo = tmin // SEG
+        s_hi = tmax // SEG + 1
+        if ring:
+            # A window longer than the ring covers every physical segment
+            # once; clamping also stops double-visiting wrapped segments.
+            s_hi = jnp.minimum(s_hi, s_lo + n_phys)
+            target = target % TAB_H
+
+        def scan_tab(s, acc):
+            p = (s % n_phys) * SEG if ring else s * SEG
+            seg_rows = tab_ref[pl.ds(p, SEG)]
+            hit = (ROW0 + p) == target[None]
+            return acc + jnp.sum(jnp.where(hit, seg_rows, 0), axis=0)
+
+        ent = jax.lax.fori_loop(
+            s_lo, s_hi, scan_tab, jnp.zeros((sub, 128), jnp.int32)
+        )
+        len_c = (ent >> 20) & 0xFFF
+        first_c = (ent >> 12) & 0xFF
+        src_d = ent & 0xFFF
+
         length = jnp.where(
             is_lit, 1, jnp.where(kwkwk, prev_len + 1, len_c)
         )
@@ -194,6 +198,15 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
         lit_byte = jnp.where(root, code, 0)  # stale first-code reads emit 0
         src = jnp.where(kwkwk, off - prev_len, src_d)
 
+        # Output-bound check: a corrupt stream whose words overflow the
+        # block is flagged (the reference's chain-corruption error class,
+        # `decoder.rs:257-260`); it also keeps the packed 12-bit src field
+        # exact for every entry the kernel goes on to insert.
+        over = ok & (off + length > block_size)
+        err = jnp.where(over, 2, err)
+        err_code = jnp.where(over, code, err_code)
+        ok = ok & jnp.logical_not(over)
+
         kind = jnp.where(
             ok, jnp.where(is_lit, KIND_LIT, KIND_COPY), KIND_HOLE
         )
@@ -202,10 +215,23 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
 
         # Insert entry (prev word + current first char) at the step row.
         ins = ok & jnp.logical_not(first_step) & (nxt < MAX_TABLE_SIZE)
-        attr_ref[base + j] = jnp.where(
-            ins, (nxt << 20) | (prev_first << 12) | (prev_len + 1), 0
+        entry = jnp.where(
+            ins,
+            (((prev_len + 1) & 0xFFF) << 20)
+            | ((prev_first & 0xFF) << 12)
+            | ((off - prev_len) & 0xFFF),
+            0,
         )
-        src_ref[base + j] = jnp.where(ins, (nxt << 13) | (off - prev_len), 0)
+        if ring:
+            tab_ref[t % TAB_H] = entry
+        elif variable:
+            tab_ref[t] = entry
+        else:
+            # Fixed tables freeze at 4096 entries (last insert at step
+            # 3840); later rows are never read, so the table is capped.
+            @pl.when(t < TAB_H)
+            def _store():
+                tab_ref[t] = entry
         # Chain-walk table for the device pass 2: code | prefix | suffix.
         pair_ref[0, j] = jnp.where(
             ins, (nxt << 20) | (prev_code << 8) | first, 0
@@ -240,7 +266,7 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
 def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
                            little: bool = True, interpret: bool = False,
                            group: int = GROUP, cell: int = CELL,
-                           seg: int = 512):
+                           seg: int = SEG):
     """Fixed-12 pass 1 on TPU: payload bytes -> per-code copy descriptors.
 
     Args:
@@ -253,6 +279,7 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
     """
     N, PB = payloads.shape
     assert N % group == 0 and group % 128 == 0
+    assert block_size <= 4096  # packed 12-bit src field
     sub = group // 128
     G = N // group
 
@@ -267,7 +294,7 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
     nc = n_codes.reshape(G, 1, sub, 128)
 
     words, pair, stats = pl.pallas_call(
-        _make_kernel(seg, None),
+        _make_kernel(seg, None, block_size),
         grid=(G, S // cell),
         in_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
@@ -284,8 +311,11 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
             jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((S, sub, 128), jnp.int32),
-            pltpu.VMEM((S, sub, 128), jnp.int32),
+            pltpu.VMEM(
+                (min((S + seg - 1) // seg, (3840 + seg) // seg) * seg,
+                 sub, 128),
+                jnp.int32,
+            ),
             pltpu.VMEM((7, sub, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -301,16 +331,37 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("spec", "interpret", "group", "cell", "seg"),
+    static_argnames=("spec", "S", "block_size", "interpret", "group",
+                     "cell", "seg"),
 )
-def _variable_pass1(codes, n_codes, sched, spec, interpret, group, cell, seg):
+def _variable_pass1_from_payloads(payloads, counts, sched, spec, S,
+                                  block_size, interpret, group, cell, seg):
+    """Device unpack (payload bytes -> dense codes) + pass-1 kernel, one jit.
+
+    Payload bytes are the only host->device transfer; the 4-byte dense code
+    matrix never crosses the (slow) host link.
+    """
+    from lzw_tpu.kernels import schedule as _sched_mod
+
+    dense, data_ok = _sched_mod.unpack_variable_device(
+        payloads, counts, spec, S
+    )
+    words, stats, pair = _variable_pass1(
+        dense, counts, sched, spec, block_size, interpret, group, cell, seg
+    )
+    return words, stats, pair, data_ok
+
+
+def _variable_pass1(codes, n_codes, sched, spec, block_size, interpret,
+                    group, cell, seg):
     N, S = codes.shape
     sub = group // 128
     G = N // group
     x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
     nc = n_codes.reshape(G, 1, sub, 128)
+    tab_h = min(((S + seg - 1) // seg) * seg, 4096)
     words, pair, stats = pl.pallas_call(
-        _make_kernel(seg, spec.alphabet_size),
+        _make_kernel(seg, spec.alphabet_size, block_size, ring=S > tab_h),
         grid=(G, S // cell),
         in_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
@@ -329,8 +380,7 @@ def _variable_pass1(codes, n_codes, sched, spec, interpret, group, cell, seg):
             jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
         ],
         scratch_shapes=[
-            pltpu.VMEM((S, sub, 128), jnp.int32),
-            pltpu.VMEM((S, sub, 128), jnp.int32),
+            pltpu.VMEM((tab_h, sub, 128), jnp.int32),
             pltpu.VMEM((7, sub, 128), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
@@ -344,8 +394,9 @@ def _variable_pass1(codes, n_codes, sched, spec, interpret, group, cell, seg):
 
 
 def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
-                              interpret: bool = False, group: int = GROUP,
-                              cell: int = CELL, seg: int = 512):
+                              interpret: bool = False,
+                              group: int = GROUP_VAR,
+                              cell: int = CELL, seg: int = 128):
     """Variable-flavor strict-stream pass 1: payloads -> copy descriptors.
 
     Strict streams (everything salzweg or this framework emits) follow the
@@ -362,26 +413,29 @@ def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
 
     N, PB = payloads.shape
     assert N % group == 0 and group % 128 == 0
+    assert block_size <= 4096  # packed 12-bit src field
+    assert 4096 % seg == 0  # ring table segments
     payloads_np = np.asarray(payloads)
-    plens_np = np.asarray(plens)
-    dense, counts, strict = _sched_mod.unpack_variable(
-        payloads_np, plens_np.astype(np.int64), spec
+    plens_np = np.asarray(plens, dtype=np.int64)
+    # Host: recover per-stream code counts + frame-level strictness (a few
+    # byte reads per stream).  Device: unpack + decode (payload bytes are
+    # the only upload).
+    counts, strict, S_raw = _sched_mod.recover_counts(
+        payloads_np, plens_np, spec
     )
-    S_raw = dense.shape[1]
     S = max(((S_raw + cell - 1) // cell) * cell, cell)
     sched = _sched_mod.emission_schedule(spec, S)
-    dense = np.concatenate(
-        [dense, np.zeros((N, S - S_raw), np.int32)], axis=1
-    )
     # Per-step scalars: decoder-side next index and epoch start ordinal.
     sched_arr = np.zeros((2, S), np.int32)
     sched_arr[0, :] = (sched.nxt_of[:S] - 1).astype(np.int32)
     sched_arr[1, :] = sched.epoch_start[:S].astype(np.int32)
 
-    words, stats, pair = _variable_pass1(
-        jnp.asarray(dense), jnp.asarray(counts.astype(np.int32)),
-        jnp.asarray(sched_arr), spec, interpret, group, cell, seg,
+    words, stats, pair, data_ok = _variable_pass1_from_payloads(
+        jnp.asarray(payloads), jnp.asarray(counts.astype(np.int32)),
+        jnp.asarray(sched_arr), spec, S, block_size, interpret, group, cell,
+        seg,
     )
+    strict = strict & np.asarray(data_ok)
     return (words, counts, stats[:, 0], stats[:, 1], stats[:, 2], strict)
 
 

@@ -25,7 +25,10 @@ import numpy as np
 
 from lzw_tpu.spec import LzwSpec, MAX_WIDTH
 
-__all__ = ["Schedule", "emission_schedule", "pack_variable", "unpack_variable"]
+__all__ = [
+    "Schedule", "emission_schedule", "pack_variable", "unpack_variable",
+    "recover_counts", "unpack_variable_device",
+]
 
 
 class Schedule:
@@ -279,8 +282,188 @@ def _as_list(counts):
     return [int(c) for c in counts]
 
 
+def recover_counts(payloads, plens, spec: LzwSpec):
+    """Host-side stream-length recovery + frame-level strictness checks.
+
+    Candidates for a stream's data-code count n are every n whose wire byte
+    length matches; ambiguity (possible at small code sizes where several
+    3-bit codes share a byte) is resolved by checking the trailing EOI.
+    Streams are grouped by byte length so the candidate sets are shared.
+
+    Returns (counts i64[N], strict bool[N], S).  ``strict`` here covers the
+    checks that need only a handful of byte reads per stream (byte-length /
+    EOI match, leading CLEAR, mid-stream CLEARs); the per-data-slot
+    CLEAR/EOI check lives with the unpack.
+    """
+    assert spec.variable
+    N, PB = payloads.shape
+    # Upper bound on data codes: every code at the minimum width.
+    S = int((8 * PB) // spec.initial_width + 2)
+    sched = emission_schedule(spec, S)
+    little = spec.endianness.value == "little"
+
+    padded = np.zeros((N, PB + 4), np.int64)
+    padded[:, :PB] = payloads
+
+    def read_cols(bit_offs, widths):
+        """Read one symbol per (stream, position): bit_offs/widths (M,)."""
+        bit_offs = np.asarray(bit_offs, np.int64)
+        widths = np.asarray(widths, np.int64)
+        b0 = bit_offs >> 3
+        if little:
+            w0 = (padded[:, b0] | (padded[:, b0 + 1] << 8)
+                  | (padded[:, b0 + 2] << 16))
+            return (w0 >> (bit_offs & 7)) & ((1 << widths) - 1)
+        wbe = ((padded[:, b0] << 16) | (padded[:, b0 + 1] << 8)
+               | padded[:, b0 + 2])
+        return (wbe >> (24 - (bit_offs & 7) - widths)) & ((1 << widths) - 1)
+
+    totals = np.array([sched.total_bits(n, True) for n in range(S + 1)])
+    totals_nofix = np.array([sched.total_bits(n, False) for n in range(S + 1)])
+    byte_len = (totals + 7) // 8
+    byte_len_nofix = (totals_nofix + 7) // 8
+    counts = np.zeros(N, np.int64)
+    chosen = np.zeros(N, bool)
+    strict = np.ones(N, bool)
+
+    plens = np.asarray(plens, np.int64)
+    zero = plens == 0
+    chosen |= zero  # n = 0
+    for nbytes in np.unique(plens[~chosen]) if (~chosen).any() else []:
+        rows = np.nonzero(plens == nbytes)[0]
+        cands = np.nonzero(
+            (byte_len == nbytes) | (byte_len_nofix == nbytes)
+        )[0]
+        for n in cands[::-1]:
+            n = int(n)
+            todo = rows[~chosen[rows]]
+            if todo.size == 0:
+                break
+            for fix in (True, False):
+                if (sched.total_bits(n, fix) + 7) // 8 != nbytes:
+                    continue
+                off = sched.total_bits(n, fix) - sched.eoi_width(n, fix)
+                w = sched.eoi_width(n, fix)
+                if (off >> 3) + 2 >= padded.shape[1]:
+                    continue
+                v = read_cols([off], [w])[todo, 0]
+                hit = todo[v == spec.end_code]
+                counts[hit] = n
+                chosen[hit] = True
+    strict &= chosen
+    counts[~chosen] = 0
+    max_n = int(counts.max()) if N else 0
+
+    # Validate the leading CLEAR.
+    lead = read_cols([0], [spec.initial_width])[:, 0]
+    strict &= (lead == spec.clear_code) | (plens == 0)
+
+    # Mid-stream CLEARs (a handful of positions).
+    for m in np.nonzero(sched.clear_after[:max_n])[0]:
+        cvals = read_cols(
+            [int(sched.bit_off[m] + sched.widths[m])], [MAX_WIDTH]
+        )[:, 0]
+        mid = (m + 1) < counts
+        strict &= ~mid | (cvals == spec.clear_code)
+
+    return counts, strict, S
+
+
+def _unpack_segments(payloads_padded, counts, spec: LzwSpec, S: int, xp):
+    """Segment-wise dense-code unpack, numpy or jax.numpy.
+
+    ``payloads_padded``: int32/int64 [N, PB+4] byte values.  Returns
+    (dense i32[N, S], data_ok bool[N]) where data_ok is False when a data
+    slot holds CLEAR/EOI (non-strict stream).
+
+    Each constant-width segment is periodic — g symbols cover exactly
+    P = g*w/8 bytes — so unpacking is reshape + static shifts per in-group
+    position, with each group's 3 spill bytes borrowed from the next group.
+    No gathers, so the same code is efficient under XLA on TPU.
+    """
+    import math
+
+    N = payloads_padded.shape[0]
+    sched = emission_schedule(spec, S)
+    little = spec.endianness.value == "little"
+    max_n = int(counts.max()) if hasattr(counts, "max") and xp is np else S
+    dense_parts = []
+    ok = xp.ones((N,), bool)
+    counts_i = counts.astype(xp.int64 if xp is np else xp.int32)
+
+    pos = 0
+    for (a, b, w) in sched.segments:
+        if a >= max_n:
+            break
+        b_eff = min(b, max_n) if xp is np else b
+        m = b_eff - a
+        base_g = (8 * w // math.gcd(w, 8)) // w
+        g = base_g * ((8 + base_g - 1) // base_g)
+        P = g * w // 8
+        o = int(sched.bit_off[a])
+        align = o & 7
+        base_byte = o >> 3
+        R = (m + g - 1) // g
+        need = base_byte + R * P + 3
+        if need > payloads_padded.shape[1]:
+            pad = need - payloads_padded.shape[1]
+            payloads_padded = xp.concatenate(
+                [payloads_padded,
+                 xp.zeros((N, pad), payloads_padded.dtype)], axis=1
+            )
+        main = payloads_padded[:, base_byte : base_byte + R * P]
+        main = main.reshape(N, R, P)
+        tail = payloads_padded[:, base_byte + R * P : base_byte + R * P + 3]
+        nxt3 = xp.concatenate(
+            [main[:, 1:, :3], tail.reshape(N, 1, 3)], axis=1
+        )
+        grp = xp.concatenate([main, nxt3], axis=2)  # (N, R, P+3)
+        cols = []
+        mask = (1 << w) - 1
+        for cpos in range(g):
+            bitc = align + cpos * w
+            bb = bitc >> 3
+            sh = bitc & 7
+            if little:
+                w0 = (grp[..., bb] | (grp[..., bb + 1] << 8)
+                      | (grp[..., bb + 2] << 16))
+                cols.append((w0 >> sh) & mask)
+            else:
+                w0 = ((grp[..., bb] << 16) | (grp[..., bb + 1] << 8)
+                      | grp[..., bb + 2])
+                cols.append((w0 >> (24 - w - sh)) & mask)
+        vals = xp.stack(cols, axis=-1).reshape(N, R * g)[:, :m]
+        ord_ = xp.arange(a, b_eff)
+        sel = ord_[None, :] < counts_i[:, None]
+        vals = xp.where(sel, vals, 0)
+        # A data-code slot holding CLEAR/EOI means a non-strict stream.
+        ok &= ~(
+            sel & ((vals == spec.clear_code) | (vals == spec.end_code))
+        ).any(axis=1)
+        dense_parts.append(vals.astype(xp.int32))
+        pos = b_eff
+
+    if pos < S:
+        dense_parts.append(xp.zeros((N, S - pos), xp.int32))
+    dense = xp.concatenate(dense_parts, axis=1) if dense_parts else xp.zeros(
+        (N, S), xp.int32
+    )
+    return dense, ok
+
+
+def unpack_variable_device(payloads, counts, spec: LzwSpec, S: int):
+    """Device-side dense-code unpack (jnp): payload bytes stay the only
+    host→device transfer.  Returns (dense i32[N, S], data_ok bool[N])."""
+    import jax.numpy as jnp
+
+    padded = jnp.pad(
+        payloads.astype(jnp.int32), ((0, 0), (0, 4))
+    )
+    return _unpack_segments(padded, counts, spec, S, jnp)
+
+
 def unpack_variable(payloads, plens, spec: LzwSpec, xp=np):
-    """Unpack strict streams to dense data codes + validation flags.
+    """Unpack strict streams to dense data codes + validation flags (host).
 
     Returns (dense i32[N, S], counts i32[N], strict bool[N]).  ``strict`` is
     False when the stream deviates from the static schedule (early CLEAR,
@@ -289,90 +472,8 @@ def unpack_variable(payloads, plens, spec: LzwSpec, xp=np):
     """
     assert spec.variable and xp is np
     N, PB = payloads.shape
-    # Upper bound on data codes: every code at the minimum width.
-    S = int((8 * PB) // spec.initial_width + 2)
-    sched = emission_schedule(spec, S)
-    little = spec.endianness.value == "little"
-
-    total_bits = 8 * plens.astype(np.int64)
-    # Recover n per stream: candidates are every n whose wire byte length
-    # matches; disambiguate (possible at small code sizes where several
-    # 3-bit codes share a byte) by checking the EOI below.
-    totals = np.array([sched.total_bits(n, True) for n in range(S + 1)])
-    totals_nofix = np.array([sched.total_bits(n, False) for n in range(S + 1)])
-    byte_len = (totals + 7) // 8
-    byte_len_nofix = (totals_nofix + 7) // 8
-    counts = np.zeros(N, np.int64)
-    strict = np.ones(N, bool)
-
-    def eoi_matches(i: int, n: int) -> bool:
-        if plens[i] == 0:
-            return n == 0
-        for fix in (True, False):
-            off = sched.total_bits(n, fix) - sched.eoi_width(n, fix)
-            w = sched.eoi_width(n, fix)
-            b0 = off >> 3
-            if b0 + 2 >= payloads.shape[1] + 3:
-                continue
-            window = int(payloads[i, b0]) if b0 < payloads.shape[1] else 0
-            b1 = int(payloads[i, b0 + 1]) if b0 + 1 < payloads.shape[1] else 0
-            b2 = int(payloads[i, b0 + 2]) if b0 + 2 < payloads.shape[1] else 0
-            if little:
-                v = ((window | (b1 << 8) | (b2 << 16)) >> (off & 7)) & (
-                    (1 << w) - 1
-                )
-            else:
-                v = (((window << 16) | (b1 << 8) | b2)
-                     >> (24 - (off & 7) - w)) & ((1 << w) - 1)
-            if v == spec.end_code and (
-                (sched.total_bits(n, fix) + 7) // 8 == plens[i]
-            ):
-                return True
-        return False
-
-    for i in range(N):
-        nbytes = plens[i]
-        cands = np.nonzero((byte_len == nbytes) | (byte_len_nofix == nbytes))[0]
-        chosen = -1
-        for n in cands[::-1]:
-            if eoi_matches(i, int(n)):
-                chosen = int(n)
-                break
-        if chosen < 0:
-            strict[i] = False
-        else:
-            counts[i] = chosen
-
-    padded = np.zeros((N, PB + 3), np.int64)
+    counts, strict, S = recover_counts(payloads, plens, spec)
+    padded = np.zeros((N, PB + 4), np.int64)
     padded[:, :PB] = payloads
-    max_n = int(counts.max()) if N else 0
-    dense = np.zeros((N, S), np.int32)
-
-    def read_at(bit_off, width):
-        b0 = bit_off >> 3
-        w0 = padded[:, b0] | (padded[:, b0 + 1] << 8) | (
-            padded[:, b0 + 2] << 16
-        )
-        if little:
-            return (w0 >> (bit_off & 7)) & ((1 << width) - 1)
-        wbe = (padded[:, b0] << 16) | (padded[:, b0 + 1] << 8) | padded[:, b0 + 2]
-        return (wbe >> (24 - (bit_off & 7) - width)) & ((1 << width) - 1)
-
-    # Validate the leading CLEAR.
-    lead = read_at(0, spec.initial_width)
-    strict &= (lead == spec.clear_code) | (plens == 0)
-
-    for m in range(max_n):
-        vals = read_at(int(sched.bit_off[m]), int(sched.widths[m]))
-        sel = m < counts
-        dense[sel, m] = vals[sel]
-        # A data-code slot holding CLEAR/EOI means a non-strict stream.
-        strict &= ~(sel & ((vals == spec.clear_code) | (vals == spec.end_code)))
-        if sched.clear_after[m]:
-            cvals = read_at(
-                int(sched.bit_off[m] + sched.widths[m]), MAX_WIDTH
-            )
-            mid = (m + 1) < counts
-            strict &= ~mid | (cvals == spec.clear_code)
-
-    return dense, counts.astype(np.int32), strict
+    dense, data_ok = _unpack_segments(padded, counts, spec, S, np)
+    return dense, counts.astype(np.int32), strict & data_ok

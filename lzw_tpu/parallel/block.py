@@ -297,11 +297,11 @@ class BlockParallelCodec:
     def _decode_variable_device(self, header, payloads):
         """Strict-schedule device decode; None when any block is non-strict."""
         from lzw_tpu.kernels.decode_pallas import (
-            GROUP, decode_pass1_variable_tpu,
+            GROUP_VAR, decode_pass1_variable_tpu,
         )
 
         n = header.n_blocks
-        N = ((n + GROUP - 1) // GROUP) * GROUP
+        N = ((n + GROUP_VAR - 1) // GROUP_VAR) * GROUP_VAR
         pb = max(len(p) for p in payloads)
         mat = np.zeros((N, pb), np.uint8)
         plens = np.zeros(N, np.int32)
