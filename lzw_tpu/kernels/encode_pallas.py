@@ -73,8 +73,8 @@ def _make_kernel(seg: int, spec_key):
     return kernel
 
 
-def _make_kernel_bucket(seg: int):
-    """Fixed-flavor kernel with bucketed table compaction.
+def _make_kernel_bucket(seg: int, spec_key=None):
+    """Bucketed-table-compaction kernel (fixed + variable flavors).
 
     Inserts stay step-indexed within the current cell; at each cell boundary
     the cell's rows are hole-compacted IN PLACE (log-step rolls over one
@@ -82,7 +82,18 @@ def _make_kernel_bucket(seg: int):
     per-cell entry count goes to an SMEM table.  Lookups then scan past
     cells only up to their recorded counts: scan work tracks the miss count
     (~0.45x of steps on the image corpus) instead of the step count, and
-    post-freeze cells cost nothing."""
+    post-freeze cells cost nothing.
+
+    Variable flavors handle the CLEAR reset (`encoder.rs:330-333`) by
+    physically zeroing the resetting lane's column across the whole table —
+    holes never match, so no epoch bookkeeping is needed, and a reset
+    happens at most once per 4 KiB block (usually never)."""
+    variable = spec_key is not None
+    if variable:
+        first_free, max_code, reset_threshold = spec_key
+    else:
+        first_free, max_code, reset_threshold = FIRST_FREE, 255, None
+    dyn_codes = MAX_TABLE_SIZE - first_free
 
     def kernel(x_ref, len_ref, out_ref, err_ref, dtab_ref, cnt_ref,
                state_ref):
@@ -95,21 +106,29 @@ def _make_kernel_bucket(seg: int):
         def _init():
             dtab_ref[:] = jnp.full(dtab_ref.shape, HOLE, jnp.int32)
             state_ref[0] = jnp.zeros((sub, 128), jnp.int32)  # prefix
-            state_ref[1] = jnp.full((sub, 128), FIRST_FREE, jnp.int32)
+            state_ref[1] = jnp.full((sub, 128), first_free, jnp.int32)
+            state_ref[2] = jnp.zeros((sub, 128), jnp.int32)  # error flag
+            state_ref[3] = jnp.zeros((sub, 128), jnp.int32)  # error code
 
         lens = len_ref[0, 0]
         base = c * cell
 
         def step(j, carry):
-            prefix, nxt = carry
+            prefix, nxt, err, err_code = carry
             i = base + j
             k = x_ref[0, j]
-            active = i < lens
-            final = (i == lens) & (lens > 0)
+            active = (i < lens) & (err == 0)
+            final = (i == lens) & (lens > 0) & (err == 0)
             is_first = i == 0
 
+            if variable:
+                bad = active & jnp.logical_not(is_first) & (k > max_code)
+                err = jnp.where(bad, 1, err)
+                err_code = jnp.where(bad, k, err_code)
+                active = active & jnp.logical_not(bad)
+
             key = prefix * 256 + k
-            tbase = (key << 12) + FIRST_FREE
+            tbase = (key << 12) + first_free
             neg = jnp.full((sub, 128), -1, jnp.int32)
 
             # Past cells: scan only their compacted entry counts.
@@ -120,7 +139,7 @@ def _make_kernel_bucket(seg: int):
                 def scan_seg(s, acc2):
                     rows = dtab_ref[pl.ds(c2 * cell + s * seg, seg)]
                     d = rows - tbase[None]
-                    sel = jnp.where((d >= 0) & (d < DYN_CODES), d, -1)
+                    sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
                     return jnp.maximum(acc2, jnp.max(sel, axis=0))
 
                 return jax.lax.fori_loop(0, n_seg2, scan_seg, acc)
@@ -132,30 +151,47 @@ def _make_kernel_bucket(seg: int):
             matched_d = jnp.maximum(
                 matched_d,
                 jnp.max(
-                    jnp.where((dcur >= 0) & (dcur < DYN_CODES), dcur, -1),
+                    jnp.where((dcur >= 0) & (dcur < dyn_codes), dcur, -1),
                     axis=0,
                 ),
             )
 
-            matched = matched_d + FIRST_FREE
+            matched = matched_d + first_free
             miss = active & (matched_d < 0) & jnp.logical_not(is_first)
             hit = active & (matched_d >= 0) & jnp.logical_not(is_first)
 
             out_ref[0, j] = jnp.where(miss | final, prefix, -1)
 
-            ins = miss & (nxt < MAX_TABLE_SIZE)
-            dtab_ref[base + j] = jnp.where(ins, (key << 12) | nxt, HOLE)
+            if variable:
+                ins = miss
+                dtab_ref[base + j] = jnp.where(
+                    ins, (key << 12) | (nxt & 0xFFF), HOLE
+                )
+                reset = ins & (nxt == reset_threshold)
+                nxt = jnp.where(
+                    reset, first_free, nxt + ins.astype(jnp.int32)
+                )
+
+                # Table-full CLEAR: wipe the lane's column everywhere
+                # (including the entry that tripped the reset).
+                @pl.when(jnp.any(reset))
+                def _invalidate():
+                    dtab_ref[:] = jnp.where(reset[None], HOLE, dtab_ref[:])
+            else:
+                ins = miss & (nxt < MAX_TABLE_SIZE)
+                dtab_ref[base + j] = jnp.where(ins, (key << 12) | nxt, HOLE)
+                nxt = nxt + ins.astype(jnp.int32)
 
             prefix = jnp.where(
                 active & is_first, k,
                 jnp.where(miss, k, jnp.where(hit, matched, prefix)),
             )
-            nxt = nxt + ins.astype(jnp.int32)
-            return prefix, nxt
+            return prefix, nxt, err, err_code
 
-        p, n = jax.lax.fori_loop(0, cell, step, (state_ref[0], state_ref[1]))
-        state_ref[0] = p
-        state_ref[1] = n
+        carry = tuple(state_ref[r] for r in range(4))
+        carry = jax.lax.fori_loop(0, cell, step, carry)
+        for r in range(4):
+            state_ref[r] = carry[r]
 
         # In-place bucket compaction + per-cell count (max over lanes).
         from lzw_tpu.kernels.common import compact_columns_jax
@@ -169,8 +205,8 @@ def _make_kernel_bucket(seg: int):
 
         @pl.when(last_cell)
         def _finish():
-            err_ref[0, 0] = jnp.zeros((sub, 128), jnp.int32)
-            err_ref[0, 1] = jnp.zeros((sub, 128), jnp.int32)
+            err_ref[0, 0] = carry[2]
+            err_ref[0, 1] = carry[3]
 
     return kernel
 
@@ -457,12 +493,11 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     l = lens.reshape(G, 1, sub, 128)
 
     if compact == "bucket":
-        assert spec_key is None, "bucket compaction: fixed flavor only"
-        kernel = _make_kernel_bucket(min(seg, 128))
+        kernel = _make_kernel_bucket(min(seg, 128), spec_key)
         scratch = [
             pltpu.VMEM((slots, sub, 128), jnp.int32),  # bucketed table
             pltpu.SMEM((slots // cell + 1,), jnp.int32),  # per-cell counts
-            pltpu.VMEM((2, sub, 128), jnp.int32),
+            pltpu.VMEM((4, sub, 128), jnp.int32),
         ]
     elif compact:
         kernel = _make_kernel_compact(seg, spec_key)

@@ -27,7 +27,7 @@ from lzw_tpu.spec import LzwSpec, MAX_WIDTH
 
 __all__ = [
     "Schedule", "emission_schedule", "pack_variable", "unpack_variable",
-    "recover_counts", "unpack_variable_device",
+    "recover_counts", "unpack_variable_device", "pack_variable_device",
 ]
 
 
@@ -135,6 +135,23 @@ def emission_schedule(spec: LzwSpec, n_max: int) -> Schedule:
     return Schedule(spec, n_max)
 
 
+@functools.lru_cache(maxsize=8)
+def _pack_variable_jitted(spec: LzwSpec, fix_eoi: bool):
+    import jax
+    import jax.numpy as jnp
+
+    def f(dense, counts):
+        return pack_variable(dense, counts, spec, fix_eoi, xp=jnp)
+
+    return jax.jit(f)
+
+
+def pack_variable_device(dense, counts, spec: LzwSpec, fix_eoi: bool = True):
+    """Jitted on-device pack: dense codes stay in HBM, only packed payload
+    bytes (the compressed data) ever cross the host link."""
+    return _pack_variable_jitted(spec, fix_eoi)(dense, counts)
+
+
 def pack_variable(dense, counts, spec: LzwSpec, fix_eoi: bool = True, xp=np):
     """Pack dense data-code arrays against the static schedule.
 
@@ -235,27 +252,55 @@ def pack_variable(dense, counts, spec: LzwSpec, fix_eoi: bool = True, xp=np):
             out, vals, MAX_WIDTH, int(sched.bit_off[m] + sched.widths[m])
         )
 
-    # Trailing EOI: per-stream position/width (host loop is vectorized over
-    # the handful of possible widths by masking on counts).
+    # Trailing EOI: per-stream position/width.  Host: loop the handful of
+    # distinct counts.  Device: precomputed (offset, width, byte length)
+    # tables indexed by counts — one tiny gather + scatter-add per stream.
     eoi = spec.end_code
-    for n_codes in _unique_counts(counts, xp):
-        mask = (counts == n_codes).astype(xp.int32)
-        if n_codes == 0:
-            off = spec.initial_width
-            w = spec.initial_width
-        else:
-            off = sched.total_bits(n_codes, fix_eoi) - sched.eoi_width(
-                n_codes, fix_eoi
-            )
-            w = sched.eoi_width(n_codes, fix_eoi)
-        out = add_symbol_column(out, mask * eoi, w, int(off))
-
-    lengths = xp.asarray(
-        [(sched.total_bits(int(n), fix_eoi) + 7) // 8 for n in _as_list(counts)]
-    ) if xp is np else None
     if xp is np:
-        return (out[:, : PB] & 0xFF).astype(np.uint8), lengths.astype(np.int32)
-    raise NotImplementedError("device variant added with the variable kernel")
+        for n_codes in _unique_counts(counts, xp):
+            mask = (counts == n_codes).astype(xp.int32)
+            if n_codes == 0:
+                off = spec.initial_width
+                w = spec.initial_width
+            else:
+                off = sched.total_bits(n_codes, fix_eoi) - sched.eoi_width(
+                    n_codes, fix_eoi
+                )
+                w = sched.eoi_width(n_codes, fix_eoi)
+            out = add_symbol_column(out, mask * eoi, w, int(off))
+        lengths = np.asarray(
+            [(sched.total_bits(int(n), fix_eoi) + 7) // 8
+             for n in _as_list(counts)]
+        )
+        return (out[:, :PB] & 0xFF).astype(np.uint8), lengths.astype(np.int32)
+
+    # xp is jax.numpy: vectorized per-stream EOI + lengths.
+    off_tab = np.empty(S + 1, np.int32)
+    w_tab = np.empty(S + 1, np.int32)
+    len_tab = np.empty(S + 1, np.int32)
+    off_tab[0] = w_tab[0] = spec.initial_width
+    len_tab[0] = (2 * spec.initial_width + 7) // 8
+    for n in range(1, S + 1):
+        w_tab[n] = sched.eoi_width(n, fix_eoi)
+        off_tab[n] = sched.total_bits(n, fix_eoi) - w_tab[n]
+        len_tab[n] = (sched.total_bits(n, fix_eoi) + 7) // 8
+    off = xp.asarray(off_tab)[counts]
+    w = xp.asarray(w_tab)[counts]
+    lengths = xp.asarray(len_tab)[counts]
+    b0 = off >> 3
+    sh = off & 7
+    if little:
+        window = (eoi << sh).astype(xp.int32)
+    else:
+        window = (eoi << (24 - w - sh)).astype(xp.int32)
+    parts = xp.stack(
+        [(window >> s) & 0xFF for s in ((0, 8, 16) if little else (16, 8, 0))],
+        axis=-1,
+    )
+    rows = xp.arange(N)[:, None]
+    cols = b0[:, None] + xp.arange(3)[None, :]
+    out = out.at[rows, cols].add(parts)
+    return (out[:, :PB] & 0xFF).astype(xp.uint8), lengths.astype(xp.int32)
 
 
 def _iadd(out, idx, val, xp):

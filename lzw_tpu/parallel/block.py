@@ -96,6 +96,7 @@ class BlockParallelCodec:
             )
         from lzw_tpu.kernels.encode_pallas import BLOCK_SIZE as _PB
 
+        self._on_tpu = use_pallas
         self.use_pallas = use_pallas and block_size == _PB
 
         ax = self.axis
@@ -149,6 +150,17 @@ class BlockParallelCodec:
         if n_blocks == 0:
             return framing.pack_frame(self.spec, self.block_size, 0, [])
 
+        # On a TPU host with a non-kernel block size, the threaded native
+        # runtime beats the XLA scan path by orders of magnitude (the lax
+        # codec exists for portability/virtual-mesh tests, not speed).
+        if self._on_tpu and not self.use_pallas and self._native() is not None:
+            payloads = self._native().encode_blocks(
+                data, self.spec, self.block_size
+            )
+            return framing.pack_frame(
+                self.spec, self.block_size, len(data), payloads
+            )
+
         N = self._pad_rows(n_blocks)
         bs = self.block_size
         blocks = np.zeros((N, bs), np.uint8)
@@ -177,14 +189,16 @@ class BlockParallelCodec:
                 dense, counts, errs, err_codes = (
                     _ep.encode_blocks_variable_codes_tpu(
                         jnp.asarray(blocks), jnp.asarray(lens), self.spec,
-                        self.block_size,
+                        self.block_size, compact="bucket",
                     )
                 )
                 errs = np.asarray(errs)
-                bufs, n_bytes = _sched.pack_variable(
-                    np.asarray(dense)[:n_blocks],
-                    np.asarray(counts)[:n_blocks], self.spec, fix_eoi=True,
+                # Pack on device: only payload bytes cross the host link.
+                bufs_d, nb_d = _sched.pack_variable_device(
+                    dense, counts, self.spec, fix_eoi=True
                 )
+                bufs = np.asarray(bufs_d[:n_blocks])
+                n_bytes = np.asarray(nb_d[:n_blocks])
             else:
                 bufs, n_bytes = _ep.encode_blocks_fixed_tpu(
                     jnp.asarray(blocks), jnp.asarray(lens), self.block_size,
@@ -223,6 +237,19 @@ class BlockParallelCodec:
                 return out
             # Non-strict stream (foreign early-CLEAR data): threaded native
             # runtime fallback.
+            out = self._native().decode_blocks(
+                [bytes(p) for p in payloads], self.spec, self.block_size
+            )
+            if len(out) != header.orig_size:
+                raise framing.FramingError(
+                    f"decoded {len(out)} bytes, container claims "
+                    f"{header.orig_size}"
+                )
+            return out
+
+        # Non-kernel block size on a TPU host: threaded native runtime.
+        if (self._on_tpu and not self.use_pallas
+                and self._native() is not None):
             out = self._native().decode_blocks(
                 [bytes(p) for p in payloads], self.spec, self.block_size
             )

@@ -160,3 +160,74 @@ def test_compact_variant_dictionary_reset():
     assert payloads[0, : lengths[0]].tobytes() == oracle.encode_bytes(
         data, spec
     )
+
+
+def test_bucket_variant_matches_oracle():
+    spec = LzwSpec.gif(7)
+    rng = np.random.default_rng(4)
+    blocks = [
+        rng.integers(0, 128, size=int(rng.integers(0, 129))).astype(
+            np.uint8
+        ).tobytes()
+        for _ in range(8)
+    ] + [(b"compressible text " * 8)[:128], bytes([3] * 128)]
+    n = len(blocks)
+    N = 128
+    mat = np.zeros((N, 128), np.uint8)
+    lens = np.zeros(N, np.int32)
+    for i, b in enumerate(blocks):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    dense, counts, errs, _ = encode_pallas.encode_blocks_variable_codes_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), spec, 128,
+        interpret=True, group=128, cell=64, seg=64, compact="bucket",
+    )
+    assert not np.asarray(errs)[:n].any()
+    payloads, lengths = schedule.pack_variable(
+        np.asarray(dense)[:n], np.asarray(counts)[:n], spec, fix_eoi=False
+    )
+    for i, b in enumerate(blocks):
+        got = payloads[i, : lengths[i]].tobytes()
+        assert got == oracle.encode_bytes(b, spec), f"block {i}"
+
+
+def test_bucket_variant_error_contract():
+    # byte > 2^code_size under a variable spec -> UnexpectedCode flag.
+    spec = LzwSpec.gif(2)
+    mat = np.zeros((128, 128), np.uint8)
+    mat[0, :4] = [0, 1, 7, 2]  # 7 > max_code 3
+    lens = np.zeros(128, np.int32)
+    lens[0] = 4
+    _, _, errs, err_codes = encode_pallas.encode_blocks_variable_codes_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), spec, 128,
+        interpret=True, group=128, cell=64, seg=64, compact="bucket",
+    )
+    assert int(np.asarray(errs)[0]) == 1
+    assert int(np.asarray(err_codes)[0]) == 7
+
+
+@pytest.mark.slow
+def test_bucket_variant_dictionary_reset():
+    spec = LzwSpec.variable(8, Endianness.LITTLE)
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=4096).astype(np.uint8).tobytes()
+    mat = np.zeros((128, 4096), np.uint8)
+    mat[0] = np.frombuffer(data, np.uint8)
+    # a second lane with compressible data (no reset) sharing the group
+    mat[1] = np.frombuffer((b"ab" * 2048), np.uint8)
+    lens = np.zeros(128, np.int32)
+    lens[0] = 4096
+    lens[1] = 4096
+    dense, counts, errs, _ = encode_pallas.encode_blocks_variable_codes_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), spec, 4096,
+        interpret=True, group=128, cell=512, seg=512, compact="bucket",
+    )
+    assert not np.asarray(errs)[:2].any()
+    payloads, lengths = schedule.pack_variable(
+        np.asarray(dense)[:2], np.asarray(counts)[:2], spec, fix_eoi=False
+    )
+    for i in range(2):
+        d = mat[i].tobytes()
+        assert payloads[i, : lengths[i]].tobytes() == oracle.encode_bytes(
+            d, spec
+        ), f"lane {i}"

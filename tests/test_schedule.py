@@ -108,3 +108,63 @@ def test_nonstrict_detected():
         payloads, np.array([len(enc)], np.int64), spec
     )
     assert not strict[0]
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_device_pack_matches_host(spec):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    code_lists = []
+    for k in (0, 1, 40, 900, 5000):
+        data = rng.integers(0, 1 << spec.code_size, size=k).astype(
+            np.uint8
+        ).tobytes()
+        code_lists.append(
+            split_controls(oracle.encode_codes(data, spec), spec) if k else []
+        )
+    S = max(max(len(c) for c in code_lists) + 2, 8)
+    dense = np.zeros((len(code_lists), S), np.int32)
+    counts = np.zeros(len(code_lists), np.int32)
+    for i, codes in enumerate(code_lists):
+        dense[i, : len(codes)] = codes
+        counts[i] = len(codes)
+    host_p, host_l = schedule.pack_variable(dense, counts, spec, fix_eoi=True)
+    dev_p, dev_l = schedule.pack_variable_device(
+        jnp.asarray(dense), jnp.asarray(counts), spec, fix_eoi=True
+    )
+    dev_p = np.asarray(dev_p)
+    dev_l = np.asarray(dev_l)
+    assert (host_l == dev_l).all()
+    for i in range(len(code_lists)):
+        assert dev_p[i, : dev_l[i]].tobytes() == \
+            host_p[i, : host_l[i]].tobytes(), f"stream {i}"
+
+
+@pytest.mark.parametrize("spec", SPECS, ids=IDS)
+def test_device_unpack_matches_host(spec):
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(13)
+    datas = [
+        rng.integers(0, 1 << spec.code_size, size=k).astype(np.uint8).tobytes()
+        for k in (0, 1, 40, 900, 6000)
+    ]
+    payload_list = [oracle.encode_bytes(d, spec) for d in datas]
+    pb = ((max(len(p) for p in payload_list) + 3) // 4) * 4
+    payloads = np.zeros((len(datas), pb), np.uint8)
+    plens = np.zeros(len(datas), np.int64)
+    for i, p in enumerate(payload_list):
+        payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
+        plens[i] = len(p)
+    h_dense, h_counts, h_strict = schedule.unpack_variable(
+        payloads, plens, spec
+    )
+    counts, strict, S = schedule.recover_counts(payloads, plens, spec)
+    d_dense, d_ok = schedule.unpack_variable_device(
+        jnp.asarray(payloads), jnp.asarray(counts.astype(np.int32)), spec, S
+    )
+    d_dense = np.asarray(d_dense)
+    assert ((strict & np.asarray(d_ok)) == h_strict).all()
+    assert (counts == h_counts).all()
+    assert (d_dense == h_dense).all()
