@@ -96,7 +96,7 @@ def _make_kernel_bucket(seg: int, spec_key=None):
     dyn_codes = MAX_TABLE_SIZE - first_free
 
     def kernel(x_ref, len_ref, out_ref, err_ref, dtab_ref, cnt_ref,
-               state_ref):
+               segbase_ref, state_ref):
         c = pl.program_id(1)
         last_cell = c == pl.num_programs(1) - 1
         cell = x_ref.shape[1]
@@ -109,9 +109,11 @@ def _make_kernel_bucket(seg: int, spec_key=None):
             state_ref[1] = jnp.full((sub, 128), first_free, jnp.int32)
             state_ref[2] = jnp.zeros((sub, 128), jnp.int32)  # error flag
             state_ref[3] = jnp.zeros((sub, 128), jnp.int32)  # error code
+            cnt_ref[0] = 0  # slot 0 holds the dense-segment count
 
         lens = len_ref[0, 0]
         base = c * cell
+        n_dense = cnt_ref[0]
 
         def step(j, carry):
             prefix, nxt, err, err_code = carry
@@ -131,29 +133,28 @@ def _make_kernel_bucket(seg: int, spec_key=None):
             tbase = (key << 12) + first_free
             neg = jnp.full((sub, 128), -1, jnp.int32)
 
-            # Past cells: scan only their compacted entry counts.
-            def scan_cell(c2, acc):
-                cnt = cnt_ref[c2]
-                n_seg2 = (cnt + seg - 1) // seg
+            # Past cells: one flat loop over the dense-segment list (the
+            # physical row starts of all compacted entries, maintained in
+            # SMEM at cell boundaries) — no per-cell loop launches.
+            def scan_seg(s, acc):
+                rows = dtab_ref[pl.ds(segbase_ref[s], seg)]
+                d = rows - tbase[None]
+                sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
+                return jnp.maximum(acc, jnp.max(sel, axis=0))
 
-                def scan_seg(s, acc2):
-                    rows = dtab_ref[pl.ds(c2 * cell + s * seg, seg)]
-                    d = rows - tbase[None]
-                    sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
-                    return jnp.maximum(acc2, jnp.max(sel, axis=0))
+            matched_d = jax.lax.fori_loop(0, n_dense, scan_seg, neg)
 
-                return jax.lax.fori_loop(0, n_seg2, scan_seg, acc)
+            # Current cell: raw step-indexed rows (holes never match),
+            # scanned only up to the rows written so far (row j is this
+            # step's own slot, still unwritten).
+            def scan_cur(s, acc):
+                rows = dtab_ref[pl.ds(base + s * seg, seg)]
+                d = rows - tbase[None]
+                sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
+                return jnp.maximum(acc, jnp.max(sel, axis=0))
 
-            matched_d = jax.lax.fori_loop(0, c, scan_cell, neg)
-            # Current cell: raw step-indexed rows (holes never match).
-            cur = dtab_ref[pl.ds(base, cell)]
-            dcur = cur - tbase[None]
-            matched_d = jnp.maximum(
-                matched_d,
-                jnp.max(
-                    jnp.where((dcur >= 0) & (dcur < dyn_codes), dcur, -1),
-                    axis=0,
-                ),
+            matched_d = jax.lax.fori_loop(
+                0, (j + seg - 1) // seg, scan_cur, matched_d
             )
 
             matched = matched_d + first_free
@@ -193,7 +194,8 @@ def _make_kernel_bucket(seg: int, spec_key=None):
         for r in range(4):
             state_ref[r] = carry[r]
 
-        # In-place bucket compaction + per-cell count (max over lanes).
+        # In-place bucket compaction; append this cell's dense segments
+        # (max count over lanes) to the SMEM segment list.
         from lzw_tpu.kernels.common import compact_columns_jax
 
         entries = dtab_ref[pl.ds(base, cell)]
@@ -201,7 +203,15 @@ def _make_kernel_bucket(seg: int, spec_key=None):
             entries, entries != HOLE, fill=HOLE
         )
         dtab_ref[pl.ds(base, cell)] = compacted
-        cnt_ref[c] = jnp.max(cnt)
+        k0 = cnt_ref[0]
+        n2 = (jnp.max(cnt) + seg - 1) // seg
+
+        def put(i2, _):
+            segbase_ref[k0 + i2] = base + i2 * seg
+            return 0
+
+        jax.lax.fori_loop(0, n2, put, 0)
+        cnt_ref[0] = k0 + n2
 
         @pl.when(last_cell)
         def _finish():
@@ -493,10 +503,12 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     l = lens.reshape(G, 1, sub, 128)
 
     if compact == "bucket":
-        kernel = _make_kernel_bucket(min(seg, 128), spec_key)
+        seg_b = min(seg, 128)
+        kernel = _make_kernel_bucket(seg_b, spec_key)
         scratch = [
             pltpu.VMEM((slots, sub, 128), jnp.int32),  # bucketed table
-            pltpu.SMEM((slots // cell + 1,), jnp.int32),  # per-cell counts
+            pltpu.SMEM((1,), jnp.int32),  # dense-segment count
+            pltpu.SMEM((slots // seg_b + 8,), jnp.int32),  # segment list
             pltpu.VMEM((4, sub, 128), jnp.int32),
         ]
     elif compact:
