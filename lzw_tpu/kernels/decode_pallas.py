@@ -458,6 +458,12 @@ def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
 
 
 def _make_pass2_kernel(seg: int, alphabet: int):
+    """Backwards chain-walk pass 2.  Both table reads are per-lane gathers
+    at statically-known rows (word w's code is at row w; for the fixed
+    flavor code c's pair entry is at row c - 255), expressed as row-matched
+    sum-selects over the [min, max] target window of the lanes."""
+    fixed_rows = alphabet == FIRST_FREE  # fixed-12: pair row = code - 255
+
     def kernel(codes_ref, pair_ref, meta_ref, out_ref, state_ref):
         c = pl.program_id(1)
         sub = pair_ref.shape[2]
@@ -470,38 +476,61 @@ def _make_pass2_kernel(seg: int, alphabet: int):
 
         ROW0 = jax.lax.broadcasted_iota(jnp.int32, (seg, sub, 128), 0)
         n_segs = (jnp.max(meta_ref[0, 0]) + seg - 1) // seg
+        BIG = jnp.int32(0x7FFFFFFF)
+
+        def bounded(lo, hi):
+            return lo // seg, hi // seg + 1
 
         def round_step(j, carry):
             w, cur = carry  # (sub, 128)
             need = (cur < 0) & (w >= 0)
 
-            # Word-table scan: entry (row<<12 | code) matches row == w.
-            wbase = w << 12
+            # Word table: code of word w is codes_ref row w.
+            wt = jnp.where(need, w, 0)
+            s_lo, s_hi = bounded(
+                jnp.min(jnp.where(need, w, BIG)), jnp.max(wt)
+            )
 
             def scan_words(s, acc):
                 seg_codes = codes_ref[0, pl.ds(s * seg, seg)]
-                ent = ((ROW0 + s * seg) << 12) | seg_codes
-                d = ent - wbase[None]
-                sel = jnp.where((d >= 0) & (d < 4096), d, -1)
-                return jnp.maximum(acc, jnp.max(sel, axis=0))
+                hit = (ROW0 + s * seg) == wt[None]
+                return acc + jnp.sum(jnp.where(hit, seg_codes, 0), axis=0)
 
-            neg = jnp.full((sub, 128), -1, jnp.int32)
-            head = jax.lax.fori_loop(0, n_segs, scan_words, neg)
+            zero = jnp.zeros((sub, 128), jnp.int32)
+            head = jax.lax.fori_loop(s_lo, s_hi, scan_words, zero)
             cur = jnp.where(need, head, cur)
 
             active = cur >= 0
             root = active & (cur < alphabet)
+            look = active & jnp.logical_not(root)
 
-            # Pair-table scan: entry code<<20 | prefix<<8 | suffix.
-            pbase = cur << 20
+            if fixed_rows:
+                # Pair entry of code c sits at row c - 255.
+                pt = jnp.where(look, cur - (FIRST_FREE - 1), 0)
+                p_lo, p_hi = bounded(
+                    jnp.min(jnp.where(look, pt, BIG)), jnp.max(pt)
+                )
 
-            def scan_pairs(s, acc):
-                seg_rows = pair_ref[0, pl.ds(s * seg, seg)]
-                d = seg_rows - pbase[None]
-                sel = jnp.where((d >= 0) & (d < (1 << 20)), d, -1)
-                return jnp.maximum(acc, jnp.max(sel, axis=0))
+                def scan_pairs(s, acc):
+                    seg_rows = pair_ref[0, pl.ds(s * seg, seg)]
+                    hit = (ROW0 + s * seg) == pt[None]
+                    return acc + jnp.sum(
+                        jnp.where(hit, seg_rows & 0xFFFFF, 0), axis=0
+                    )
 
-            pd = jax.lax.fori_loop(0, n_segs, scan_pairs, neg)
+                pd = jax.lax.fori_loop(p_lo, p_hi, scan_pairs, zero)
+            else:
+                # Generic: entry code<<20 | prefix<<8 | suffix, content match.
+                pbase = cur << 20
+
+                def scan_pairs(s, acc):
+                    seg_rows = pair_ref[0, pl.ds(s * seg, seg)]
+                    d = seg_rows - pbase[None]
+                    sel = jnp.where((d >= 0) & (d < (1 << 20)), d, -1)
+                    return jnp.maximum(acc, jnp.max(sel, axis=0))
+
+                neg = jnp.full((sub, 128), -1, jnp.int32)
+                pd = jax.lax.fori_loop(0, n_segs, scan_pairs, neg)
 
             byte = jnp.where(root, cur, pd & 0xFF)
             out_ref[0, j] = jnp.where(active, byte, 0)
@@ -528,12 +557,15 @@ def _make_pass2_kernel(seg: int, alphabet: int):
 )
 def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
                         alphabet: int = 256, interpret: bool = False,
-                        group: int = GROUP, cell: int = CELL, seg: int = 512):
+                        group: int = 1024, cell: int = CELL,
+                        seg: int = 128):
     """All-device pass 2: copy-free chain walk -> decoded bytes.
 
     Args:
       codes: i32[N, S] aligned wire codes (pass-1 input layout).
-      pair:  i32[G, S, sub, 128] pair table from pass 1.
+      pair:  i32[G1, S, sub1, 128] pair table from pass 1 (any grouping —
+        regrouped here; pass 2 keeps smaller instances because the whole
+        codes+pair tables live in VMEM).
       n_codes/totals: i32[N].
     Returns u8[N, block_size] decoded blocks (zero past totals).
     """
@@ -543,6 +575,14 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
     sub = group // 128
     G = N // group
     R = ((block_size + cell - 1) // cell) * cell
+
+    G1, Sp, sub1, _ = pair.shape
+    assert Sp == S and G1 * sub1 == G * sub
+    if sub1 != sub:
+        assert sub1 % sub == 0, (sub1, sub)
+        f = sub1 // sub
+        pair = pair.reshape(G1, S, f, sub, 128).transpose(0, 2, 1, 3, 4)
+        pair = pair.reshape(G, S, sub, 128)
 
     x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
     meta = n_codes.reshape(G, 1, sub, 128)
