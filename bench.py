@@ -64,7 +64,7 @@ def main() -> None:
     if any(d.platform == "tpu" for d in jax.devices()):
         f = jax.jit(
             lambda b, l: encode_pallas.encode_blocks_fixed_tpu(
-                b, l, B, compact="bucket"
+                b, l, B, compact="stage"
             )
         )
     else:  # CPU fallback: exercise the portable path on a small corpus

@@ -221,6 +221,135 @@ def _make_kernel_bucket(seg: int, spec_key=None):
     return kernel
 
 
+def _make_kernel_stage(seg: int, block_size: int):
+    """Fixed-flavor staged-append kernel: bounded VMEM at ANY block size.
+
+    The fixed dictionary freezes at 4096 entries (`encoder.rs:645-647`), so
+    the dense table is bounded regardless of block length.  Inserts land
+    step-indexed in a per-cell staging buffer; at each cell boundary the
+    stage is hole-compacted and written at a *uniform* scalar cursor into a
+    contiguous dense table (whole-row writes — no per-lane shifts).  Lanes
+    with fewer entries leave holes under the max-count cursor, which the
+    next append overwrites.  Lookups scan dense rows [0, cursor) in one
+    straight loop plus the written prefix of the stage.
+
+    This is both the big-block kernel (64 KiB fixed blocks keep the
+    single-stream compression ratio on text corpora) and a simpler, faster
+    replacement for the segment-list bucket design at 4 KiB."""
+
+    def kernel(x_ref, len_ref, out_ref, err_ref, dense_ref, stage_ref,
+               cur_ref, state_ref):
+        c = pl.program_id(1)
+        last_cell = c == pl.num_programs(1) - 1
+        cell = x_ref.shape[1]
+        sub = dense_ref.shape[1]
+
+        @pl.when(c == 0)
+        def _init():
+            dense_ref[:] = jnp.full(dense_ref.shape, HOLE, jnp.int32)
+            state_ref[0] = jnp.zeros((sub, 128), jnp.int32)  # prefix
+            state_ref[1] = jnp.full((sub, 128), FIRST_FREE, jnp.int32)
+            cur_ref[0] = 0  # dense cursor (rows appended so far)
+
+        stage_ref[:] = jnp.full(stage_ref.shape, HOLE, jnp.int32)
+        lens = len_ref[0, 0]
+        base = c * cell
+        n_dense = (cur_ref[0] + seg - 1) // seg
+
+        def step(j, carry):
+            prefix, nxt = carry
+            i = base + j
+            k = x_ref[0, j]
+            active = i < lens
+            final = (i == lens) & (lens > 0)
+            is_first = i == 0
+
+            key = prefix * 256 + k
+            tbase = (key << 12) + FIRST_FREE
+            neg = jnp.full((sub, 128), -1, jnp.int32)
+
+            def scan_dense(s, acc):
+                rows = dense_ref[pl.ds(s * seg, seg)]
+                d = rows - tbase[None]
+                sel = jnp.where((d >= 0) & (d < DYN_CODES), d, -1)
+                return jnp.maximum(acc, jnp.max(sel, axis=0))
+
+            matched_d = jax.lax.fori_loop(0, n_dense, scan_dense, neg)
+
+            def scan_stage(s, acc):
+                rows = stage_ref[pl.ds(s * seg, seg)]
+                d = rows - tbase[None]
+                sel = jnp.where((d >= 0) & (d < DYN_CODES), d, -1)
+                return jnp.maximum(acc, jnp.max(sel, axis=0))
+
+            matched_d = jax.lax.fori_loop(
+                0, (j + seg - 1) // seg, scan_stage, matched_d
+            )
+
+            matched = matched_d + FIRST_FREE
+            miss = active & (matched_d < 0) & jnp.logical_not(is_first)
+            hit = active & (matched_d >= 0) & jnp.logical_not(is_first)
+
+            out_ref[0, j] = jnp.where(miss | final, prefix, -1)
+
+            ins = miss & (nxt < MAX_TABLE_SIZE)
+            stage_ref[j] = jnp.where(ins, (key << 12) | nxt, HOLE)
+
+            prefix = jnp.where(
+                active & is_first, k,
+                jnp.where(miss, k, jnp.where(hit, matched, prefix)),
+            )
+            nxt = nxt + ins.astype(jnp.int32)
+            return prefix, nxt
+
+        p, n = jax.lax.fori_loop(0, cell, step, (state_ref[0], state_ref[1]))
+        state_ref[0] = p
+        state_ref[1] = n
+
+        # Stage -> dense append at the shared cursor (whole-row writes).
+        # The cursor advances by the per-cell max over lanes, so lanes with
+        # fewer entries leave holes and the cursor can outrun any single
+        # lane's 3840-insert bound: when the next append would overflow,
+        # re-compact the whole dense table (squeezes all holes; per-lane
+        # live entries are <= 3840, so space is guaranteed).  At block
+        # sizes <= 4096 the cursor can never exceed the step count, so the
+        # recompaction body is statically omitted (its full-table rolls are
+        # also what blows up the Mosaic compile on big-block configs — see
+        # EVOLUTION.md; big device blocks stay parked until then).
+        from lzw_tpu.kernels.common import compact_columns_jax
+
+        # Inserts only happen at active steps, so the cursor is bounded by
+        # block_size and the append by block_size + cell == D_ROWS at the
+        # default 4 KiB block — the recompaction body is statically omitted
+        # there.
+        D_ROWS = dense_ref.shape[0]
+        if block_size + cell > D_ROWS:
+
+            @pl.when(cur_ref[0] + cell > D_ROWS)
+            def _recompact():
+                allrows = dense_ref[:]
+                squeezed, dcnt = compact_columns_jax(
+                    allrows, allrows != HOLE, fill=HOLE
+                )
+                dense_ref[:] = squeezed
+                cur_ref[0] = jnp.max(dcnt)
+
+        entries = stage_ref[:]
+        compacted, cnt = compact_columns_jax(
+            entries, entries != HOLE, fill=HOLE
+        )
+        k0 = cur_ref[0]
+        dense_ref[pl.ds(k0, cell)] = compacted
+        cur_ref[0] = k0 + jnp.max(cnt)
+
+        @pl.when(last_cell)
+        def _finish():
+            err_ref[0, 0] = jnp.zeros((sub, 128), jnp.int32)
+            err_ref[0, 1] = jnp.zeros((sub, 128), jnp.int32)
+
+    return kernel
+
+
 def _make_kernel_compact(seg: int, spec_key):
     def kernel(x_ref, len_ref, out_ref, err_ref, dtab_ref, ctab_ref,
                state_ref):
@@ -488,8 +617,12 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
                        cell, seg, compact=False):
     """Shared pallas_call driver; returns (codes [G,slots,sub,128], err)."""
     N, B = blocks.shape
-    assert B == block_size and block_size <= BLOCK_SIZE
-    assert block_size % cell == 0 and cell % seg == 0
+    assert B == block_size
+    if compact == "stage":
+        assert spec_key is None, "staged append: fixed flavor only"
+    else:
+        assert block_size <= BLOCK_SIZE  # step-indexed tables track steps
+    assert block_size % cell == 0 and cell % min(seg, 128) == 0
     assert N % group == 0 and group % 128 == 0
     sub = group // 128
     G = N // group
@@ -502,7 +635,15 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     )
     l = lens.reshape(G, 1, sub, 128)
 
-    if compact == "bucket":
+    if compact == "stage":
+        kernel = _make_kernel_stage(min(seg, 128), block_size)
+        scratch = [
+            pltpu.VMEM((MAX_TABLE_SIZE + cell, sub, 128), jnp.int32),  # dense
+            pltpu.VMEM((cell, sub, 128), jnp.int32),  # per-cell stage
+            pltpu.SMEM((1,), jnp.int32),  # dense cursor
+            pltpu.VMEM((2, sub, 128), jnp.int32),
+        ]
+    elif compact == "bucket":
         seg_b = min(seg, 128)
         kernel = _make_kernel_bucket(seg_b, spec_key)
         scratch = [

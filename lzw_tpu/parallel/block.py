@@ -202,7 +202,7 @@ class BlockParallelCodec:
             else:
                 bufs, n_bytes = _ep.encode_blocks_fixed_tpu(
                     jnp.asarray(blocks), jnp.asarray(lens), self.block_size,
-                    little=little, compact="bucket",
+                    little=little, compact="stage",
                 )
                 errs = np.zeros(n_blocks, np.int32)
                 err_codes = errs

@@ -149,3 +149,80 @@ def test_bucket_variant_full_block():
     )
     got = np.asarray(payloads)[0, : np.asarray(lengths)[0]].tobytes()
     assert got == oracle.encode_bytes(data, FIXED_LE)
+
+
+def test_stage_variant_matches_oracle():
+    spec = FIXED_LE
+    rng = np.random.default_rng(7)
+    blocks = [
+        rng.integers(0, 256, size=int(rng.integers(0, 129))).astype(
+            np.uint8
+        ).tobytes()
+        for _ in range(8)
+    ] + [bytes([1] * 60 + [2] * 40 + [1, 2, 3] * 9), b""]
+    n = len(blocks)
+    N = 128
+    mat = np.zeros((N, 128), np.uint8)
+    lens = np.zeros(N, np.int32)
+    for i, b in enumerate(blocks):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    payloads, lengths = encode_pallas.encode_blocks_fixed_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), 128,
+        interpret=True, group=128, cell=64, seg=64, compact="stage",
+    )
+    payloads, lengths = np.asarray(payloads), np.asarray(lengths)
+    for i, b in enumerate(blocks):
+        expect = oracle.encode_bytes(b, spec)
+        assert payloads[i, : lengths[i]].tobytes() == expect, f"block {i}"
+
+
+@pytest.mark.slow
+def test_stage_variant_big_block():
+    # 16 KiB block: the dictionary freezes mid-block; dense table stays
+    # bounded. Mixed content so the dictionary fills, then frozen lookups.
+    spec = FIXED_LE
+    rng = np.random.default_rng(9)
+    data = (rng.integers(0, 256, size=9000).astype(np.uint8).tobytes()
+            + (b"steady state pattern " * 400)[:7384])
+    B = 16384
+    mat = np.zeros((128, B), np.uint8)
+    mat[0, : len(data)] = np.frombuffer(data, np.uint8)
+    lens = np.zeros(128, np.int32)
+    lens[0] = len(data)
+    payloads, lengths = encode_pallas.encode_blocks_fixed_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), B,
+        interpret=True, group=128, cell=512, seg=128, compact="stage",
+    )
+    expect = oracle.encode_bytes(data, spec)
+    assert np.asarray(payloads)[0, : np.asarray(lengths)[0]].tobytes() \
+        == expect
+
+
+@pytest.mark.slow
+def test_stage_variant_recompaction():
+    # Two lanes miss heavily in ALTERNATING cells, so the shared dense
+    # cursor (sum of per-cell max counts) outruns the 4096+cell table and
+    # forces the in-kernel full recompaction path.
+    spec = FIXED_LE
+    rng = np.random.default_rng(21)
+    B, cell = 16384, 512
+    lanes = np.zeros((2, B), np.uint8)
+    for c in range(B // cell):
+        seg = slice(c * cell, (c + 1) * cell)
+        noise = rng.integers(0, 256, size=cell).astype(np.uint8)
+        const = np.full(cell, 7, np.uint8)
+        lanes[0, seg] = noise if c % 2 == 0 else const
+        lanes[1, seg] = const if c % 2 == 0 else noise
+    mat = np.zeros((128, B), np.uint8)
+    mat[:2] = lanes
+    lens = np.zeros(128, np.int32)
+    lens[:2] = B
+    payloads, lengths = encode_pallas.encode_blocks_fixed_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), B,
+        interpret=True, group=128, cell=cell, seg=128, compact="stage",
+    )
+    payloads, lengths = np.asarray(payloads), np.asarray(lengths)
+    for i in range(2):
+        expect = oracle.encode_bytes(lanes[i].tobytes(), spec)
+        assert payloads[i, : lengths[i]].tobytes() == expect, f"lane {i}"
