@@ -221,21 +221,30 @@ def _make_kernel_bucket(seg: int, spec_key=None):
     return kernel
 
 
-def _make_kernel_stage(seg: int, block_size: int):
-    """Fixed-flavor staged-append kernel: bounded VMEM at ANY block size.
+def _make_kernel_stage(seg: int, block_size: int, spec_key=None):
+    """Staged-append kernel (all flavors): bounded VMEM at ANY block size.
 
-    The fixed dictionary freezes at 4096 entries (`encoder.rs:645-647`), so
-    the dense table is bounded regardless of block length.  Inserts land
-    step-indexed in a per-cell staging buffer; at each cell boundary the
-    stage is hole-compacted and written at a *uniform* scalar cursor into a
-    contiguous dense table (whole-row writes — no per-lane shifts).  Lanes
-    with fewer entries leave holes under the max-count cursor, which the
-    next append overwrites.  Lookups scan dense rows [0, cursor) in one
-    straight loop plus the written prefix of the stage.
+    The dictionary holds at most 4096 live entries (the fixed flavor
+    freezes, `encoder.rs:645-647`; variable flavors CLEAR-reset,
+    `encoder.rs:330-333`), so the dense table is bounded regardless of
+    block length.  Inserts land step-indexed in a per-cell staging buffer;
+    at each cell boundary the stage is hole-compacted and written at a
+    *uniform* scalar cursor into a contiguous dense table (whole-row
+    writes — no per-lane shifts).  Lanes with fewer entries leave holes
+    under the max-count cursor, which the next append overwrites.  Lookups
+    scan dense rows [0, cursor) in one straight loop plus the written
+    prefix of the stage.  Variable CLEAR resets physically wipe the
+    resetting lane's column in both tables.
 
-    This is both the big-block kernel (64 KiB fixed blocks keep the
+    This is both the big-block kernel (64 KiB blocks keep the
     single-stream compression ratio on text corpora) and a simpler, faster
     replacement for the segment-list bucket design at 4 KiB."""
+    variable = spec_key is not None
+    if variable:
+        first_free, max_code, reset_threshold = spec_key
+    else:
+        first_free, max_code, reset_threshold = FIRST_FREE, 255, None
+    dyn_codes = MAX_TABLE_SIZE - first_free
 
     def kernel(x_ref, len_ref, out_ref, err_ref, dense_ref, stage_ref,
                cur_ref, state_ref):
@@ -248,7 +257,9 @@ def _make_kernel_stage(seg: int, block_size: int):
         def _init():
             dense_ref[:] = jnp.full(dense_ref.shape, HOLE, jnp.int32)
             state_ref[0] = jnp.zeros((sub, 128), jnp.int32)  # prefix
-            state_ref[1] = jnp.full((sub, 128), FIRST_FREE, jnp.int32)
+            state_ref[1] = jnp.full((sub, 128), first_free, jnp.int32)
+            state_ref[2] = jnp.zeros((sub, 128), jnp.int32)  # error flag
+            state_ref[3] = jnp.zeros((sub, 128), jnp.int32)  # error code
             cur_ref[0] = 0  # dense cursor (rows appended so far)
 
         stage_ref[:] = jnp.full(stage_ref.shape, HOLE, jnp.int32)
@@ -257,21 +268,27 @@ def _make_kernel_stage(seg: int, block_size: int):
         n_dense = (cur_ref[0] + seg - 1) // seg
 
         def step(j, carry):
-            prefix, nxt = carry
+            prefix, nxt, err, err_code = carry
             i = base + j
             k = x_ref[0, j]
-            active = i < lens
-            final = (i == lens) & (lens > 0)
+            active = (i < lens) & (err == 0)
+            final = (i == lens) & (lens > 0) & (err == 0)
             is_first = i == 0
 
+            if variable:
+                bad = active & jnp.logical_not(is_first) & (k > max_code)
+                err = jnp.where(bad, 1, err)
+                err_code = jnp.where(bad, k, err_code)
+                active = active & jnp.logical_not(bad)
+
             key = prefix * 256 + k
-            tbase = (key << 12) + FIRST_FREE
+            tbase = (key << 12) + first_free
             neg = jnp.full((sub, 128), -1, jnp.int32)
 
             def scan_dense(s, acc):
                 rows = dense_ref[pl.ds(s * seg, seg)]
                 d = rows - tbase[None]
-                sel = jnp.where((d >= 0) & (d < DYN_CODES), d, -1)
+                sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
                 return jnp.maximum(acc, jnp.max(sel, axis=0))
 
             matched_d = jax.lax.fori_loop(0, n_dense, scan_dense, neg)
@@ -279,32 +296,52 @@ def _make_kernel_stage(seg: int, block_size: int):
             def scan_stage(s, acc):
                 rows = stage_ref[pl.ds(s * seg, seg)]
                 d = rows - tbase[None]
-                sel = jnp.where((d >= 0) & (d < DYN_CODES), d, -1)
+                sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
                 return jnp.maximum(acc, jnp.max(sel, axis=0))
 
             matched_d = jax.lax.fori_loop(
                 0, (j + seg - 1) // seg, scan_stage, matched_d
             )
 
-            matched = matched_d + FIRST_FREE
+            matched = matched_d + first_free
             miss = active & (matched_d < 0) & jnp.logical_not(is_first)
             hit = active & (matched_d >= 0) & jnp.logical_not(is_first)
 
             out_ref[0, j] = jnp.where(miss | final, prefix, -1)
 
-            ins = miss & (nxt < MAX_TABLE_SIZE)
-            stage_ref[j] = jnp.where(ins, (key << 12) | nxt, HOLE)
+            if variable:
+                ins = miss
+                stage_ref[j] = jnp.where(
+                    ins, (key << 12) | (nxt & 0xFFF), HOLE
+                )
+                reset = ins & (nxt == reset_threshold)
+                nxt = jnp.where(
+                    reset, first_free, nxt + ins.astype(jnp.int32)
+                )
+
+                @pl.when(jnp.any(reset))
+                def _invalidate():
+                    dense_ref[:] = jnp.where(
+                        reset[None], HOLE, dense_ref[:]
+                    )
+                    stage_ref[:] = jnp.where(
+                        reset[None], HOLE, stage_ref[:]
+                    )
+            else:
+                ins = miss & (nxt < MAX_TABLE_SIZE)
+                stage_ref[j] = jnp.where(ins, (key << 12) | nxt, HOLE)
+                nxt = nxt + ins.astype(jnp.int32)
 
             prefix = jnp.where(
                 active & is_first, k,
                 jnp.where(miss, k, jnp.where(hit, matched, prefix)),
             )
-            nxt = nxt + ins.astype(jnp.int32)
-            return prefix, nxt
+            return prefix, nxt, err, err_code
 
-        p, n = jax.lax.fori_loop(0, cell, step, (state_ref[0], state_ref[1]))
-        state_ref[0] = p
-        state_ref[1] = n
+        carry = tuple(state_ref[r] for r in range(4))
+        carry = jax.lax.fori_loop(0, cell, step, carry)
+        for r in range(4):
+            state_ref[r] = carry[r]
 
         # Stage -> dense append at the shared cursor (whole-row writes).
         # The cursor advances by the per-cell max over lanes, so lanes with
@@ -344,8 +381,8 @@ def _make_kernel_stage(seg: int, block_size: int):
 
         @pl.when(last_cell)
         def _finish():
-            err_ref[0, 0] = jnp.zeros((sub, 128), jnp.int32)
-            err_ref[0, 1] = jnp.zeros((sub, 128), jnp.int32)
+            err_ref[0, 0] = carry[2]
+            err_ref[0, 1] = carry[3]
 
     return kernel
 
@@ -618,9 +655,7 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     """Shared pallas_call driver; returns (codes [G,slots,sub,128], err)."""
     N, B = blocks.shape
     assert B == block_size
-    if compact == "stage":
-        assert spec_key is None, "staged append: fixed flavor only"
-    else:
+    if compact != "stage":
         assert block_size <= BLOCK_SIZE  # step-indexed tables track steps
     assert block_size % cell == 0 and cell % min(seg, 128) == 0
     assert N % group == 0 and group % 128 == 0
@@ -636,12 +671,12 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     l = lens.reshape(G, 1, sub, 128)
 
     if compact == "stage":
-        kernel = _make_kernel_stage(min(seg, 128), block_size)
+        kernel = _make_kernel_stage(min(seg, 128), block_size, spec_key)
         scratch = [
             pltpu.VMEM((MAX_TABLE_SIZE + cell, sub, 128), jnp.int32),  # dense
             pltpu.VMEM((cell, sub, 128), jnp.int32),  # per-cell stage
             pltpu.SMEM((1,), jnp.int32),  # dense cursor
-            pltpu.VMEM((2, sub, 128), jnp.int32),
+            pltpu.VMEM((4, sub, 128), jnp.int32),
         ]
     elif compact == "bucket":
         seg_b = min(seg, 128)

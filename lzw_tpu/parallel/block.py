@@ -189,7 +189,7 @@ class BlockParallelCodec:
                 dense, counts, errs, err_codes = (
                     _ep.encode_blocks_variable_codes_tpu(
                         jnp.asarray(blocks), jnp.asarray(lens), self.spec,
-                        self.block_size, compact="bucket",
+                        self.block_size, compact="stage",
                     )
                 )
                 errs = np.asarray(errs)

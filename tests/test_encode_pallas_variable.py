@@ -231,3 +231,57 @@ def test_bucket_variant_dictionary_reset():
         assert payloads[i, : lengths[i]].tobytes() == oracle.encode_bytes(
             d, spec
         ), f"lane {i}"
+
+
+def test_stage_variant_matches_oracle():
+    spec = LzwSpec.gif(7)
+    rng = np.random.default_rng(6)
+    blocks = [
+        rng.integers(0, 128, size=int(rng.integers(0, 129))).astype(
+            np.uint8
+        ).tobytes()
+        for _ in range(8)
+    ] + [(b"compressible text " * 8)[:128], bytes([5] * 128), b""]
+    n = len(blocks)
+    N = 128
+    mat = np.zeros((N, 128), np.uint8)
+    lens = np.zeros(N, np.int32)
+    for i, b in enumerate(blocks):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    dense, counts, errs, _ = encode_pallas.encode_blocks_variable_codes_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), spec, 128,
+        interpret=True, group=128, cell=64, seg=64, compact="stage",
+    )
+    assert not np.asarray(errs)[:n].any()
+    payloads, lengths = schedule.pack_variable(
+        np.asarray(dense)[:n], np.asarray(counts)[:n], spec, fix_eoi=False
+    )
+    for i, b in enumerate(blocks):
+        got = payloads[i, : lengths[i]].tobytes()
+        assert got == oracle.encode_bytes(b, spec), f"block {i}"
+
+
+@pytest.mark.slow
+def test_stage_variant_dictionary_reset():
+    spec = LzwSpec.variable(8, Endianness.LITTLE)
+    rng = np.random.default_rng(5)
+    data = rng.integers(0, 256, size=4096).astype(np.uint8).tobytes()
+    mat = np.zeros((128, 4096), np.uint8)
+    mat[0] = np.frombuffer(data, np.uint8)
+    mat[1] = np.frombuffer(b"cd" * 2048, np.uint8)
+    lens = np.zeros(128, np.int32)
+    lens[:2] = 4096
+    dense, counts, errs, _ = encode_pallas.encode_blocks_variable_codes_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), spec, 4096,
+        interpret=True, group=128, cell=512, seg=512, compact="stage",
+    )
+    assert not np.asarray(errs)[:2].any()
+    payloads, lengths = schedule.pack_variable(
+        np.asarray(dense)[:2], np.asarray(counts)[:2], spec, fix_eoi=False
+    )
+    for i in range(2):
+        d = mat[i].tobytes()
+        assert payloads[i, : lengths[i]].tobytes() == oracle.encode_bytes(
+            d, spec
+        ), f"lane {i}"
