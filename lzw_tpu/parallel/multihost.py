@@ -9,8 +9,10 @@ DCN between hosts).  Intra-host block parallelism stays in
 devices; this layer shards *block ranges* across processes.
 
 Single-process environments degrade gracefully: every helper works with
-``jax.process_count() == 1`` (the CI configuration), so the code path is
-exercised everywhere and only the DCN legs need a real pod.
+``jax.process_count() == 1`` (the CI configuration).  The multi-process legs
+are exercised for real by ``tests/test_multihost.py``, which launches 2-4
+CPU processes under ``jax.distributed`` and round-trips uneven block counts
+through this codec.
 """
 
 from __future__ import annotations
@@ -22,7 +24,7 @@ import numpy as np
 import jax
 
 from lzw_tpu.parallel import framing
-from lzw_tpu.parallel.block import BlockParallelCodec
+from lzw_tpu.parallel.block import BlockParallelCodec, local_mesh
 from lzw_tpu.spec import LzwSpec
 
 __all__ = ["initialize", "MultiHostBlockCodec"]
@@ -61,15 +63,20 @@ class MultiHostBlockCodec:
                  local_codec: BlockParallelCodec | None = None):
         self.spec = spec
         self.block_size = block_size
-        self.local = local_codec or BlockParallelCodec(spec, block_size)
+        # The local codec must mesh over *addressable* devices only: in a
+        # multi-process runtime ``jax.devices()`` is global and a shard_map
+        # over non-addressable devices cannot consume host-local arrays.
+        self.local = local_codec or BlockParallelCodec(
+            spec, block_size, mesh=local_mesh()
+        )
 
     # ---- encode --------------------------------------------------------------
 
     def encode(self, data: bytes) -> bytes:
         """Compress; every process must pass identical ``data``.
 
-        For truly host-sharded inputs use :meth:`encode_local_shard` with
-        per-host data and matching offsets.
+        For truly host-sharded inputs use :meth:`encode_shards` with
+        per-host chunks.
         """
         n_proc = jax.process_count()
         if n_proc == 1:
@@ -77,15 +84,48 @@ class MultiHostBlockCodec:
         n_blocks = math.ceil(len(data) / self.block_size)
         lo, hi = _process_slice(n_blocks, jax.process_index(), n_proc)
         local_payloads = self._encode_blocks(data, lo, hi)
-        all_payloads = _allgather_payloads(local_payloads, n_blocks)
+        all_payloads = _exchange_block_payloads(local_payloads, n_blocks)
         return framing.pack_frame(
             self.spec, self.block_size, len(data), all_payloads
+        )
+
+    def encode_shards(self, shard: bytes, total_size: int) -> bytes:
+        """Compress host-sharded input: process p holds blocks [lo_p, hi_p).
+
+        ``shard`` must be exactly this process's contiguous byte range under
+        the balanced block split of a ``total_size``-byte stream (the same
+        split :meth:`encode` computes); every process receives the full
+        container.
+        """
+        n_proc = jax.process_count()
+        if n_proc == 1:
+            if len(shard) != total_size:
+                raise ValueError("single-process shard must be the whole input")
+            return self.local.encode(shard)
+        n_blocks = math.ceil(total_size / self.block_size)
+        lo, hi = _process_slice(n_blocks, jax.process_index(), n_proc)
+        expect = self._range_size(total_size, lo, hi)
+        if len(shard) != expect:
+            raise ValueError(
+                f"process {jax.process_index()} shard is {len(shard)} bytes, "
+                f"expected {expect}"
+            )
+        local_payloads = self._encode_payloads_of(shard)
+        all_payloads = _exchange_block_payloads(local_payloads, n_blocks)
+        return framing.pack_frame(
+            self.spec, self.block_size, total_size, all_payloads
         )
 
     def _encode_blocks(self, data: bytes, lo: int, hi: int) -> list[bytes]:
         if lo >= hi:
             return []
-        chunk = data[lo * self.block_size : hi * self.block_size]
+        return self._encode_payloads_of(
+            data[lo * self.block_size : hi * self.block_size]
+        )
+
+    def _encode_payloads_of(self, chunk: bytes) -> list[bytes]:
+        if not chunk:
+            return []
         sub = self.local.encode(chunk)
         _, payloads = framing.parse_frame(sub)
         return [bytes(p) for p in payloads]
@@ -105,37 +145,67 @@ class MultiHostBlockCodec:
                 [bytes(p) for p in payloads[lo:hi]],
             )
         )
-        parts = _allgather_payloads([local_out], header.n_blocks)
-        return b"".join(parts)[: header.orig_size]
+        # One decoded blob per process, gathered in process order; idle
+        # processes contribute an empty blob.  Concatenation in process
+        # order IS submission order because the block split is contiguous.
+        parts = _exchange_blobs(local_out)
+        out = b"".join(parts)
+        if len(out) != header.orig_size:
+            raise framing.FramingError(
+                f"decoded {len(out)} bytes, container claims "
+                f"{header.orig_size}"
+            )
+        return out
 
     def _range_orig_size(self, header: framing.FrameHeader, lo: int, hi: int):
-        full = header.orig_size
-        end = min(hi * self.block_size, full)
+        return self._range_size(header.orig_size, lo, hi)
+
+    def _range_size(self, total: int, lo: int, hi: int) -> int:
+        end = min(hi * self.block_size, total)
         return max(0, end - lo * self.block_size)
 
 
-def _allgather_payloads(local: list[bytes], order_hint: int) -> list[bytes]:
-    """Exchange variable-length byte payloads across processes, order kept.
+def _exchange_block_payloads(local: list[bytes], n_blocks: int) -> list[bytes]:
+    """All-gather per-process payload lists, reassembled in block order.
 
-    Pads to the global max length (one DCN all-gather of a [P, max] u8 array
-    plus a [P, k] length table) and re-slices on the host.
+    ``process_allgather`` needs identical shapes on every process, so each
+    side pads its list to the balanced per-process maximum (``ceil(n/P)``)
+    and its payload matrix to the *global* maximum payload length (one extra
+    scalar all-gather).  Reconstruction slices per process using the same
+    deterministic split — no sentinel/heuristic decoding of padding rows.
     """
     from jax.experimental import multihost_utils
 
-    k = max(len(local), 1)
-    max_len = max((len(p) for p in local), default=0)
-    lens = np.array([len(p) for p in local] + [0] * (k - len(local)), np.int64)
-    # Global max via allgather of scalars.
-    all_lens = multihost_utils.process_allgather(lens)
+    n_proc = jax.process_count()
+    per = math.ceil(n_blocks / n_proc) if n_blocks else 1
+    lens = np.zeros(per, np.int64)
+    lens[: len(local)] = [len(p) for p in local]
+    all_lens = multihost_utils.process_allgather(lens)  # [P, per]
     gmax = int(all_lens.max()) if all_lens.size else 0
-    buf = np.zeros((k, max(gmax, 1)), np.uint8)
+    buf = np.zeros((per, max(gmax, 1)), np.uint8)
     for i, p in enumerate(local):
         buf[i, : len(p)] = np.frombuffer(p, np.uint8)
-    all_bufs = multihost_utils.process_allgather(buf)
-    all_bufs = all_bufs.reshape(-1, all_bufs.shape[-1])
-    flat_lens = all_lens.reshape(-1)
-    out = []
-    for i in range(flat_lens.shape[0]):
-        if flat_lens[i] or len(out) < order_hint:
-            out.append(all_bufs[i, : flat_lens[i]].tobytes())
-    return out[:order_hint] if order_hint else out
+    all_bufs = multihost_utils.process_allgather(buf)  # [P, per, gmax]
+    out: list[bytes] = []
+    for p in range(n_proc):
+        lo, hi = _process_slice(n_blocks, p, n_proc)
+        for j in range(hi - lo):
+            out.append(all_bufs[p, j, : all_lens[p, j]].tobytes())
+    assert len(out) == n_blocks
+    return out
+
+
+def _exchange_blobs(local: bytes) -> list[bytes]:
+    """All-gather one variable-length blob per process, in process order."""
+    from jax.experimental import multihost_utils
+
+    n = np.array([len(local)], np.int64)
+    all_n = multihost_utils.process_allgather(n).reshape(-1)
+    gmax = int(all_n.max()) if all_n.size else 0
+    buf = np.zeros(max(gmax, 1), np.uint8)
+    if local:
+        buf[: len(local)] = np.frombuffer(local, np.uint8)
+    all_bufs = multihost_utils.process_allgather(buf).reshape(
+        all_n.shape[0], -1
+    )
+    return [all_bufs[p, : all_n[p]].tobytes() for p in range(all_n.shape[0])]

@@ -216,3 +216,19 @@ class LzwSpec:
         `decoder.rs:213`).
         """
         return (1 << width) - self.strategy.increment
+
+    def wire_key(self) -> tuple:
+        """Canonical key of the *wire format* this spec describes.
+
+        Two specs with equal wire keys produce and accept byte-identical
+        streams even if constructed differently: the fixed flavor hard-wires
+        code size 8 and never consults the width-bump strategy
+        (`encoder.rs:618-658`), so those fields are excluded for it.
+        """
+        if self.variable:
+            return (True, self.code_size, self.endianness, self.strategy)
+        return (False, self.endianness)
+
+    def wire_equivalent(self, other: "LzwSpec") -> bool:
+        """True when ``other`` reads/writes the same byte streams as self."""
+        return self.wire_key() == other.wire_key()
