@@ -25,6 +25,8 @@ import numpy as np
 
 ASSETS = pathlib.Path(__file__).resolve().parent / "test-assets"
 BASELINE_FIXED12_ENCODE = 120 * (1 << 20)  # bytes/s, reference README.md:27
+BASELINE_FIXED12_DECODE = 210 * (1 << 20)  # bytes/s, reference README.md:28
+BASELINE_VAR_ENCODE = 70 * (1 << 20)       # bytes/s, reference README.md:27
 CORPUS_MB = 32
 
 
@@ -121,6 +123,98 @@ def main() -> None:
         rate = N * B / best
 
         note(f"timed: {best:.3f}s best-of-3")
+
+        # --- secondary metrics on the resident corpus ---------------------
+        # Workload sizes are fixed by tiling the device-resident corpus, so
+        # the numbers don't depend on how much the relay managed to upload.
+        extra = {}
+        try:  # all-device fixed-12 decode (pass 1 + chain-walk pass 2)
+            from lzw_tpu.kernels import decode_pallas as _dp
+
+            Nd = _dp.GROUP
+            if True:
+                reps_d = -(-Nd // N)
+                db_d = jnp.tile(db, (reps_d, 1))[:Nd] if reps_d > 1 \
+                    else db[:Nd]
+                bufs_d, len_d = f(db_d, jnp.full((Nd,), B, jnp.int32))
+                PB3 = ((bufs_d.shape[1] + 2) // 3) * 3
+                pay = jnp.pad(bufs_d, ((0, 0), (0, PB3 - bufs_d.shape[1])))
+
+                @jax.jit
+                def _dec(pay_, nb_):
+                    w, nc, tot, de, dec_, (pair, codes) = (
+                        _dp.decode_pass1_fixed_tpu(pay_, nb_, B, little=True)
+                    )
+                    out = _dp.decode_pass2_device(codes, pair, nc, tot, B)
+                    return out, tot, de
+
+                out_d, tot_d, _ = _dec(pay, len_d)
+                np.asarray(tot_d[:4])
+                bestd = float("inf")
+                for rep in range(3):
+                    pvar = pay.at[0, 0].set(rep % 251)
+                    np.asarray(pvar[0, :4])
+                    t0 = time.perf_counter()
+                    out_d, tot_d, _ = _dec(pvar, len_d)
+                    np.asarray(tot_d[:4])
+                    bestd = min(bestd, time.perf_counter() - t0)
+                # Round-trip gate on unperturbed rows.
+                assert (np.asarray(out_d[1:33])
+                        == np.asarray(db_d[1:33])).all(), "decode mismatch"
+                drate = Nd * B / bestd
+                extra["fixed12_decode_bytes_per_s_1chip"] = round(drate, 1)
+                extra["fixed12_decode_vs_baseline"] = round(
+                    drate / BASELINE_FIXED12_DECODE, 4
+                )
+                note(f"decode all-device: {drate/2**20:.1f} MiB/s "
+                     f"({drate/BASELINE_FIXED12_DECODE:.2f}x reference)")
+        except Exception as e:  # pragma: no cover - report, don't fail bench
+            note(f"decode metric skipped: {e!r}")
+
+        try:  # default-container config: variable gif7, 64 KiB chunked
+            from lzw_tpu.kernels import encode_pallas as _ep, schedule as _sc
+            from lzw_tpu.spec import LzwSpec
+
+            gspec = LzwSpec.gif(7)
+            BV = 1 << 16
+            Nv = _ep.GROUP_CHUNKED
+            if Nv:
+                reps_v = -(-(Nv * BV) // (N * B))
+                flat = jnp.tile(db.reshape(-1), reps_v) if reps_v > 1 \
+                    else db.reshape(-1)
+                dbv = (flat[: Nv * BV] % 128).reshape(Nv, BV)
+                dlv = jnp.full((Nv,), BV, jnp.int32)
+
+                @jax.jit
+                def _envc(d):
+                    dense, counts, _, _ = (
+                        _ep.encode_blocks_variable_codes_tpu(
+                            d, dlv, gspec, BV
+                        )
+                    )
+                    return _sc.pack_variable_device(
+                        dense, counts, gspec, fix_eoi=True
+                    )
+
+                _, nbv = _envc(dbv)
+                np.asarray(nbv[:4])
+                bestv = float("inf")
+                for rep in range(2):
+                    dvv = dbv.at[0, 0].set((rep + 1) % 120)
+                    np.asarray(dvv[0, :4])
+                    t0 = time.perf_counter()
+                    _, nbv = _envc(dvv)
+                    np.asarray(nbv[:4])
+                    bestv = min(bestv, time.perf_counter() - t0)
+                vrate = Nv * BV / bestv
+                extra["var64k_encode_bytes_per_s_1chip"] = round(vrate, 1)
+                extra["var64k_encode_vs_baseline"] = round(
+                    vrate / BASELINE_VAR_ENCODE, 4
+                )
+                note(f"variable 64 KiB encode: {vrate/2**20:.1f} MiB/s "
+                     f"({vrate/BASELINE_VAR_ENCODE:.2f}x reference)")
+        except Exception as e:  # pragma: no cover
+            note(f"variable-64k metric skipped: {e!r}")
         # Correctness gate: container round-trip on a slice through the full
         # host pipeline, decoded with the independent native runtime.
         codec = BlockParallelCodec(spec, block_size=B)
@@ -144,6 +238,7 @@ def main() -> None:
         container = codec.encode(data)
         best = time.perf_counter() - t0
         rate = e2e_rate = len(data) / best
+        extra = {}
 
     result = {
         "metric": "fixed12_encode_bytes_per_s_1chip",
@@ -151,6 +246,8 @@ def main() -> None:
         "unit": "bytes/s",
         "vs_baseline": round(rate / BASELINE_FIXED12_ENCODE, 4),
     }
+    if extra:
+        result["extra"] = extra
     print(json.dumps(result))
     print(
         f"# {N*B/2**20:.0f} MiB HBM-to-HBM in {best:.3f}s = "

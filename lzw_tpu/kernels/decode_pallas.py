@@ -49,7 +49,8 @@ from lzw_tpu.spec import MAX_TABLE_SIZE
 
 __all__ = [
     "decode_pass1_fixed_tpu", "decode_pass1_variable_tpu",
-    "decode_pass2_device", "unpack12", "KIND_COPY", "KIND_LIT", "KIND_HOLE",
+    "decode_pass2_device", "decode_variable_all_device", "unpack12",
+    "KIND_COPY", "KIND_LIT", "KIND_HOLE",
     "GROUP", "GROUP_VAR",
 ]
 
@@ -349,7 +350,7 @@ def _variable_pass1_from_payloads(payloads, counts, sched, spec, S,
     words, stats, pair = _variable_pass1(
         dense, counts, sched, spec, block_size, interpret, group, cell, seg
     )
-    return words, stats, pair, data_ok
+    return words, stats, pair, dense, data_ok
 
 
 def _variable_pass1(codes, n_codes, sched, spec, block_size, interpret,
@@ -430,13 +431,45 @@ def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
     sched_arr[0, :] = (sched.nxt_of[:S] - 1).astype(np.int32)
     sched_arr[1, :] = sched.epoch_start[:S].astype(np.int32)
 
-    words, stats, pair, data_ok = _variable_pass1_from_payloads(
+    words, stats, pair, dense, data_ok = _variable_pass1_from_payloads(
         jnp.asarray(payloads), jnp.asarray(counts.astype(np.int32)),
         jnp.asarray(sched_arr), spec, S, block_size, interpret, group, cell,
         seg,
     )
     strict = strict & np.asarray(data_ok)
-    return (words, counts, stats[:, 0], stats[:, 1], stats[:, 2], strict)
+    return (words, counts, stats[:, 0], stats[:, 1], stats[:, 2], strict,
+            (pair, dense, sched_arr))
+
+
+def decode_variable_all_device(payloads, plens, spec, block_size: int,
+                               interpret: bool = False,
+                               group: int = GROUP_VAR, cell: int = CELL,
+                               seg: int = 128, group2: int = 1024,
+                               seg2: int = 128):
+    """Whole variable-flavor decode on the chip (strict streams).
+
+    Pass 1 builds the copy descriptors and pair table; pass 2 chain-walks
+    them with row-matched lookups (the per-word epoch start rides the high
+    bits of the dense code matrix, straight from the static emission
+    schedule).  Returns (blocks u8[N, block_size], totals, errs, err_codes,
+    strict); non-strict streams must go through a fallback decoder.
+    """
+    import numpy as np
+
+    words, counts, totals, errs, err_codes, strict, (pair, dense, sched_arr) \
+        = decode_pass1_variable_tpu(
+            payloads, plens, spec, block_size, interpret=interpret,
+            group=group, cell=cell, seg=seg,
+        )
+    S = dense.shape[1]
+    epochs = jnp.asarray(sched_arr[1, :S].astype(np.int32))
+    codes_aug = dense | (epochs[None, :] << 12)
+    out = decode_pass2_device(
+        codes_aug, pair, jnp.asarray(counts.astype(np.int32)), totals,
+        block_size, alphabet=spec.alphabet_size, interpret=interpret,
+        group=group2, cell=cell, seg=seg2, variable=True,
+    )
+    return out, totals, errs, err_codes, strict
 
 
 # --------------------------------------------------------------------------- #
@@ -457,12 +490,17 @@ def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
 # the data path); the hybrid remains the throughput default.
 
 
-def _make_pass2_kernel(seg: int, alphabet: int):
+def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False):
     """Backwards chain-walk pass 2.  Both table reads are per-lane gathers
-    at statically-known rows (word w's code is at row w; for the fixed
-    flavor code c's pair entry is at row c - 255), expressed as row-matched
-    sum-selects over the [min, max] target window of the lanes."""
-    fixed_rows = alphabet == FIRST_FREE  # fixed-12: pair row = code - 255
+    at statically-known rows, expressed as row-matched sum-selects over the
+    [min, max] target window of the lanes: word w's code is at row w, and
+    code c's pair entry is at row ``epoch_start + 1 + c - first_free``
+    (``c - 255`` for fixed-12, where epoch_start is 0).  For variable
+    flavors the per-word epoch start rides the high bits of the codes
+    matrix (packed by the caller from the static schedule) and is carried
+    per lane through the chain — every chain node of a word resolves in
+    that word's epoch."""
+    first_free = alphabet + 2 if variable else FIRST_FREE
 
     def kernel(codes_ref, pair_ref, meta_ref, out_ref, state_ref):
         c = pl.program_id(1)
@@ -473,16 +511,16 @@ def _make_pass2_kernel(seg: int, alphabet: int):
         def _init():
             state_ref[0] = meta_ref[0, 0] - 1  # word index, walked down
             state_ref[1] = jnp.full((sub, 128), -1, jnp.int32)  # chain node
+            state_ref[2] = jnp.zeros((sub, 128), jnp.int32)  # word epoch row
 
         ROW0 = jax.lax.broadcasted_iota(jnp.int32, (seg, sub, 128), 0)
-        n_segs = (jnp.max(meta_ref[0, 0]) + seg - 1) // seg
         BIG = jnp.int32(0x7FFFFFFF)
 
         def bounded(lo, hi):
             return lo // seg, hi // seg + 1
 
         def round_step(j, carry):
-            w, cur = carry  # (sub, 128)
+            w, cur, est = carry  # (sub, 128)
             need = (cur < 0) & (w >= 0)
 
             # Word table: code of word w is codes_ref row w.
@@ -498,39 +536,29 @@ def _make_pass2_kernel(seg: int, alphabet: int):
 
             zero = jnp.zeros((sub, 128), jnp.int32)
             head = jax.lax.fori_loop(s_lo, s_hi, scan_words, zero)
+            if variable:
+                est = jnp.where(need, head >> 12, est)
+                head = head & 0xFFF
             cur = jnp.where(need, head, cur)
 
             active = cur >= 0
             root = active & (cur < alphabet)
             look = active & jnp.logical_not(root)
 
-            if fixed_rows:
-                # Pair entry of code c sits at row c - 255.
-                pt = jnp.where(look, cur - (FIRST_FREE - 1), 0)
-                p_lo, p_hi = bounded(
-                    jnp.min(jnp.where(look, pt, BIG)), jnp.max(pt)
+            # Pair entry of code c: row epoch_start + 1 + c - first_free.
+            pt = jnp.where(look, est + 1 + cur - first_free, 0)
+            p_lo, p_hi = bounded(
+                jnp.min(jnp.where(look, pt, BIG)), jnp.max(pt)
+            )
+
+            def scan_pairs(s, acc):
+                seg_rows = pair_ref[0, pl.ds(s * seg, seg)]
+                hit = (ROW0 + s * seg) == pt[None]
+                return acc + jnp.sum(
+                    jnp.where(hit, seg_rows & 0xFFFFF, 0), axis=0
                 )
 
-                def scan_pairs(s, acc):
-                    seg_rows = pair_ref[0, pl.ds(s * seg, seg)]
-                    hit = (ROW0 + s * seg) == pt[None]
-                    return acc + jnp.sum(
-                        jnp.where(hit, seg_rows & 0xFFFFF, 0), axis=0
-                    )
-
-                pd = jax.lax.fori_loop(p_lo, p_hi, scan_pairs, zero)
-            else:
-                # Generic: entry code<<20 | prefix<<8 | suffix, content match.
-                pbase = cur << 20
-
-                def scan_pairs(s, acc):
-                    seg_rows = pair_ref[0, pl.ds(s * seg, seg)]
-                    d = seg_rows - pbase[None]
-                    sel = jnp.where((d >= 0) & (d < (1 << 20)), d, -1)
-                    return jnp.maximum(acc, jnp.max(sel, axis=0))
-
-                neg = jnp.full((sub, 128), -1, jnp.int32)
-                pd = jax.lax.fori_loop(0, n_segs, scan_pairs, neg)
+            pd = jax.lax.fori_loop(p_lo, p_hi, scan_pairs, zero)
 
             byte = jnp.where(root, cur, pd & 0xFF)
             out_ref[0, j] = jnp.where(active, byte, 0)
@@ -539,13 +567,15 @@ def _make_pass2_kernel(seg: int, alphabet: int):
             cur = jnp.where(
                 root, -1, jnp.where(active, pd >> 8, cur)
             )
-            return w, cur
+            return w, cur, est
 
-        w, cur = jax.lax.fori_loop(
-            0, cell, round_step, (state_ref[0], state_ref[1])
+        w, cur, est = jax.lax.fori_loop(
+            0, cell, round_step,
+            (state_ref[0], state_ref[1], state_ref[2]),
         )
         state_ref[0] = w
         state_ref[1] = cur
+        state_ref[2] = est
 
     return kernel
 
@@ -553,16 +583,19 @@ def _make_pass2_kernel(seg: int, alphabet: int):
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "alphabet", "interpret", "group", "cell",
-                     "seg"),
+                     "seg", "variable"),
 )
 def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
                         alphabet: int = 256, interpret: bool = False,
                         group: int = 1024, cell: int = CELL,
-                        seg: int = 128):
+                        seg: int = 128, variable: bool = False):
     """All-device pass 2: copy-free chain walk -> decoded bytes.
 
     Args:
-      codes: i32[N, S] aligned wire codes (pass-1 input layout).
+      codes: i32[N, S] aligned wire codes (pass-1 input layout).  For
+        variable flavors each slot must carry the step's epoch-start row in
+        its high bits (``code | epoch_start << 12``, static per step from
+        the emission schedule) so pair lookups stay row-matched.
       pair:  i32[G1, S, sub1, 128] pair table from pass 1 (any grouping —
         regrouped here; pass 2 keeps smaller instances because the whole
         codes+pair tables live in VMEM).
@@ -588,7 +621,7 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
     meta = n_codes.reshape(G, 1, sub, 128)
 
     rev = pl.pallas_call(
-        _make_pass2_kernel(seg, alphabet),
+        _make_pass2_kernel(seg, alphabet, variable),
         grid=(G, R // cell),
         in_specs=[
             pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
@@ -597,7 +630,7 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
         ],
         out_specs=pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
         out_shape=jax.ShapeDtypeStruct((G, R, sub, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((2, sub, 128), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((3, sub, 128), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),

@@ -45,12 +45,18 @@ from lzw_tpu.kernels.common import compact_columns_jax
 from lzw_tpu.spec import MAX_TABLE_SIZE
 
 __all__ = ["encode_blocks_fixed_tpu",
-           "encode_blocks_variable_codes_tpu", "BLOCK_SIZE", "GROUP"]
+           "encode_blocks_variable_codes_tpu", "BLOCK_SIZE", "GROUP",
+           "GROUP_CHUNKED", "CHUNK", "group_for"]
 
-BLOCK_SIZE = 4096  # device block size (bytes); container blocks are multiples
+BLOCK_SIZE = 4096  # single-launch device block size (bytes); bigger blocks
+# run the chunked driver (one launch per CHUNK bytes, dictionary carried)
 GROUP = 2048  # blocks per kernel instance (16 sublanes x 128 lanes; the
 # wider state tiles amortize the per-step dependent-chain latency, +6% over
 # 1024 on chip; decode keeps 1024 for VMEM headroom)
+GROUP_CHUNKED = 2048  # chunked path: one DMA-fed dense window fits 16 sublanes
+CHUNK = 2048  # steps per launch of the chunked driver (the working table is
+# MAX_TABLE_SIZE + CHUNK rows; 2048 keeps it + the scan temporaries inside
+# VMEM at 16 sublanes, and measures within noise of 4096 on the corpora)
 CELL = 512  # steps per grid cell (VMEM streaming tile)
 SEG = 512  # scan segment rows
 # Table hole: entry code fields are always >= 256 (first dynamic code), so a
@@ -221,6 +227,169 @@ def _make_kernel_bucket(seg: int, spec_key=None):
     return kernel
 
 
+def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
+                   seg, sub, spec_key):
+    """The staged-append parse step, shared by the single-launch and chunked
+    kernels.  ``off`` is the global stream index of this cell's step 0 (a
+    traced scalar: ``c*cell`` single-launch, ``chunk0 + c*cell`` chunked)."""
+    variable = spec_key is not None
+    if variable:
+        first_free, max_code, reset_threshold = spec_key
+    else:
+        first_free, max_code, reset_threshold = FIRST_FREE, 255, None
+    dyn_codes = MAX_TABLE_SIZE - first_free
+
+    def step(j, carry):
+        prefix, nxt, err, err_code = carry
+        i = off + j
+        k = x_ref[0, j]
+        active = (i < lens) & (err == 0)
+        final = (i == lens) & (lens > 0) & (err == 0)
+        is_first = i == 0
+
+        if variable:
+            bad = active & jnp.logical_not(is_first) & (k > max_code)
+            err = jnp.where(bad, 1, err)
+            err_code = jnp.where(bad, k, err_code)
+            active = active & jnp.logical_not(bad)
+
+        key = prefix * 256 + k
+        tbase = (key << 12) + first_free
+        neg = jnp.full((sub, 128), -1, jnp.int32)
+
+        def scan_dense(s, acc):
+            rows = dense_ref[pl.ds(s * seg, seg)]
+            d = rows - tbase[None]
+            # NOTE: a single unsigned compare (u32(d) < dyn) measures 9%
+            # SLOWER on chip than this two-compare form — Mosaic fuses the
+            # signed range test; don't "optimize" it.
+            sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
+            return jnp.maximum(acc, jnp.max(sel, axis=0))
+
+        matched_d = jax.lax.fori_loop(0, n_dense, scan_dense, neg)
+
+        def scan_stage(s, acc):
+            rows = stage_ref[pl.ds(s * seg, seg)]
+            d = rows - tbase[None]
+            sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
+            return jnp.maximum(acc, jnp.max(sel, axis=0))
+
+        matched_d = jax.lax.fori_loop(
+            0, (j + seg - 1) // seg, scan_stage, matched_d
+        )
+
+        matched = matched_d + first_free
+        miss = active & (matched_d < 0) & jnp.logical_not(is_first)
+        hit = active & (matched_d >= 0) & jnp.logical_not(is_first)
+
+        out_ref[0, j] = jnp.where(miss | final, prefix, -1)
+
+        if variable:
+            ins = miss
+            stage_ref[j] = jnp.where(
+                ins, (key << 12) | (nxt & 0xFFF), HOLE
+            )
+            reset = ins & (nxt == reset_threshold)
+            nxt = jnp.where(
+                reset, first_free, nxt + ins.astype(jnp.int32)
+            )
+
+            @pl.when(jnp.any(reset))
+            def _invalidate():
+                dense_ref[:] = jnp.where(
+                    reset[None], HOLE, dense_ref[:]
+                )
+                stage_ref[:] = jnp.where(
+                    reset[None], HOLE, stage_ref[:]
+                )
+        else:
+            ins = miss & (nxt < MAX_TABLE_SIZE)
+            stage_ref[j] = jnp.where(ins, (key << 12) | nxt, HOLE)
+            nxt = nxt + ins.astype(jnp.int32)
+
+        prefix = jnp.where(
+            active & is_first, k,
+            jnp.where(miss, k, jnp.where(hit, matched, prefix)),
+        )
+        return prefix, nxt, err, err_code
+
+    return step
+
+
+def _stage_append(dense_ref, stage_ref, cur_ref, cell):
+    """Stage -> dense append at the shared cursor (whole-row writes)."""
+    entries = stage_ref[:]
+    compacted, cnt = compact_columns_jax(entries, entries != HOLE, fill=HOLE)
+    k0 = cur_ref[0]
+    dense_ref[pl.ds(k0, cell)] = compacted
+    cur_ref[0] = k0 + jnp.max(cnt)
+
+
+def _make_kernel_chunk(seg: int, spec_key=None):
+    """Chunked staged-append kernel: ONE launch per CHUNK steps, dictionary
+    state (dense table, parse state, cursor) carried as kernel I/O.
+
+    This is how big container blocks (the default 64 KiB variable block)
+    run on the chip: the single-launch stage kernel's in-kernel
+    recompaction blows up the Mosaic compile (EVOLUTION.md V4), so instead
+    the driver (`_run_encode_kernel_chunked`) recompacts the carried table
+    BETWEEN launches under XLA — where log-step roll cascades compile fine
+    — and each launch appends at a cursor that provably fits
+    ``4096 + chunk`` rows (live entries are bounded by the dictionary's own
+    reset/freeze semantics, `encoder.rs:330-333`, `:645-647`; per-chunk
+    appends are bounded by the step count)."""
+
+    def kernel(x_ref, len_ref, chunk0_ref, dense_in_hbm, state_in_ref,
+               cur_in_ref, out_ref, err_ref, dense_out_hbm, state_out_ref,
+               dense_ref, stage_ref, cur_ref, dma_sem):
+        g = pl.program_id(0)
+        c = pl.program_id(1)
+        last_cell = c == pl.num_programs(1) - 1
+        cell = x_ref.shape[1]
+        sub = stage_ref.shape[1]
+
+        # The dense table stays in HBM as kernel I/O (it is scan-carried
+        # state at the JAX level); one VMEM scratch window serves both
+        # directions so the lane count isn't halved by double windows.
+        @pl.when(c == 0)
+        def _init():
+            dma = pltpu.make_async_copy(
+                dense_in_hbm.at[g], dense_ref, dma_sem
+            )
+            dma.start()
+            dma.wait()
+            state_out_ref[0] = state_in_ref[0]
+            cur_ref[0] = cur_in_ref[0, 0]
+
+        stage_ref[:] = jnp.full(stage_ref.shape, HOLE, jnp.int32)
+        lens = len_ref[0, 0]
+        off = chunk0_ref[0] + c * cell
+        n_dense = (cur_ref[0] + seg - 1) // seg
+
+        step = _stage_step_fn(
+            x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense, seg,
+            sub, spec_key,
+        )
+        carry = tuple(state_out_ref[0, r] for r in range(4))
+        carry = jax.lax.fori_loop(0, cell, step, carry)
+        for r in range(4):
+            state_out_ref[0, r] = carry[r]
+
+        _stage_append(dense_ref, stage_ref, cur_ref, cell)
+
+        @pl.when(last_cell)
+        def _finish():
+            err_ref[0, 0] = carry[2]
+            err_ref[0, 1] = carry[3]
+            dma = pltpu.make_async_copy(
+                dense_ref, dense_out_hbm.at[g], dma_sem
+            )
+            dma.start()
+            dma.wait()
+
+    return kernel
+
+
 def _make_kernel_stage(seg: int, block_size: int, spec_key=None):
     """Staged-append kernel (all flavors): bounded VMEM at ANY block size.
 
@@ -236,15 +405,12 @@ def _make_kernel_stage(seg: int, block_size: int, spec_key=None):
     prefix of the stage.  Variable CLEAR resets physically wipe the
     resetting lane's column in both tables.
 
-    This is both the big-block kernel (64 KiB blocks keep the
-    single-stream compression ratio on text corpora) and a simpler, faster
-    replacement for the segment-list bucket design at 4 KiB."""
-    variable = spec_key is not None
-    if variable:
-        first_free, max_code, reset_threshold = spec_key
-    else:
-        first_free, max_code, reset_threshold = FIRST_FREE, 255, None
-    dyn_codes = MAX_TABLE_SIZE - first_free
+    This is both the small-block default (a simpler, faster replacement for
+    the segment-list bucket design at 4 KiB) and, in interpret mode, the
+    single-launch big-block oracle; on hardware, big blocks run the chunked
+    kernel instead (`_make_kernel_chunk`) because the recompaction body here
+    blows up the Mosaic compile (EVOLUTION.md V4)."""
+    first_free = FIRST_FREE if spec_key is None else spec_key[0]
 
     def kernel(x_ref, len_ref, out_ref, err_ref, dense_ref, stage_ref,
                cur_ref, state_ref):
@@ -267,98 +433,24 @@ def _make_kernel_stage(seg: int, block_size: int, spec_key=None):
         base = c * cell
         n_dense = (cur_ref[0] + seg - 1) // seg
 
-        def step(j, carry):
-            prefix, nxt, err, err_code = carry
-            i = base + j
-            k = x_ref[0, j]
-            active = (i < lens) & (err == 0)
-            final = (i == lens) & (lens > 0) & (err == 0)
-            is_first = i == 0
-
-            if variable:
-                bad = active & jnp.logical_not(is_first) & (k > max_code)
-                err = jnp.where(bad, 1, err)
-                err_code = jnp.where(bad, k, err_code)
-                active = active & jnp.logical_not(bad)
-
-            key = prefix * 256 + k
-            tbase = (key << 12) + first_free
-            neg = jnp.full((sub, 128), -1, jnp.int32)
-
-            def scan_dense(s, acc):
-                rows = dense_ref[pl.ds(s * seg, seg)]
-                d = rows - tbase[None]
-                sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
-                return jnp.maximum(acc, jnp.max(sel, axis=0))
-
-            matched_d = jax.lax.fori_loop(0, n_dense, scan_dense, neg)
-
-            def scan_stage(s, acc):
-                rows = stage_ref[pl.ds(s * seg, seg)]
-                d = rows - tbase[None]
-                sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
-                return jnp.maximum(acc, jnp.max(sel, axis=0))
-
-            matched_d = jax.lax.fori_loop(
-                0, (j + seg - 1) // seg, scan_stage, matched_d
-            )
-
-            matched = matched_d + first_free
-            miss = active & (matched_d < 0) & jnp.logical_not(is_first)
-            hit = active & (matched_d >= 0) & jnp.logical_not(is_first)
-
-            out_ref[0, j] = jnp.where(miss | final, prefix, -1)
-
-            if variable:
-                ins = miss
-                stage_ref[j] = jnp.where(
-                    ins, (key << 12) | (nxt & 0xFFF), HOLE
-                )
-                reset = ins & (nxt == reset_threshold)
-                nxt = jnp.where(
-                    reset, first_free, nxt + ins.astype(jnp.int32)
-                )
-
-                @pl.when(jnp.any(reset))
-                def _invalidate():
-                    dense_ref[:] = jnp.where(
-                        reset[None], HOLE, dense_ref[:]
-                    )
-                    stage_ref[:] = jnp.where(
-                        reset[None], HOLE, stage_ref[:]
-                    )
-            else:
-                ins = miss & (nxt < MAX_TABLE_SIZE)
-                stage_ref[j] = jnp.where(ins, (key << 12) | nxt, HOLE)
-                nxt = nxt + ins.astype(jnp.int32)
-
-            prefix = jnp.where(
-                active & is_first, k,
-                jnp.where(miss, k, jnp.where(hit, matched, prefix)),
-            )
-            return prefix, nxt, err, err_code
-
+        step = _stage_step_fn(
+            x_ref, out_ref, dense_ref, stage_ref, lens, base, n_dense, seg,
+            sub, spec_key,
+        )
         carry = tuple(state_ref[r] for r in range(4))
         carry = jax.lax.fori_loop(0, cell, step, carry)
         for r in range(4):
             state_ref[r] = carry[r]
 
-        # Stage -> dense append at the shared cursor (whole-row writes).
         # The cursor advances by the per-cell max over lanes, so lanes with
         # fewer entries leave holes and the cursor can outrun any single
-        # lane's 3840-insert bound: when the next append would overflow,
+        # lane's live-entry bound: when the next append would overflow,
         # re-compact the whole dense table (squeezes all holes; per-lane
-        # live entries are <= 3840, so space is guaranteed).  At block
-        # sizes <= 4096 the cursor can never exceed the step count, so the
-        # recompaction body is statically omitted (its full-table rolls are
-        # also what blows up the Mosaic compile on big-block configs — see
-        # EVOLUTION.md; big device blocks stay parked until then).
-        from lzw_tpu.kernels.common import compact_columns_jax
-
-        # Inserts only happen at active steps, so the cursor is bounded by
-        # block_size and the append by block_size + cell == D_ROWS at the
-        # default 4 KiB block — the recompaction body is statically omitted
-        # there.
+        # live entries are bounded by the reset/freeze semantics, so space
+        # is guaranteed).  At block sizes <= 4096 the cursor is bounded by
+        # the step count and the recompaction body is statically omitted —
+        # which is why this single-launch kernel only runs on hardware for
+        # small blocks.
         D_ROWS = dense_ref.shape[0]
         if block_size + cell > D_ROWS:
 
@@ -371,13 +463,7 @@ def _make_kernel_stage(seg: int, block_size: int, spec_key=None):
                 dense_ref[:] = squeezed
                 cur_ref[0] = jnp.max(dcnt)
 
-        entries = stage_ref[:]
-        compacted, cnt = compact_columns_jax(
-            entries, entries != HOLE, fill=HOLE
-        )
-        k0 = cur_ref[0]
-        dense_ref[pl.ds(k0, cell)] = compacted
-        cur_ref[0] = k0 + jnp.max(cnt)
+        _stage_append(dense_ref, stage_ref, cur_ref, cell)
 
         @pl.when(last_cell)
         def _finish():
@@ -724,41 +810,157 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     )(x, l)
 
     # Compact holes per block column, back to [N, slots] block-major.
-    flat = codes.reshape(G, slots, group)
+    return _compact_grouped_codes(codes, errs, G, slots, group, N)
+
+
+def _compact_grouped_codes(codes, errs, G, total, group, N):
+    """Per-block-column hole compaction + layout restore (shared tail)."""
+    flat = codes.reshape(G, total, group)
     dense, counts = jax.vmap(
         lambda v: compact_columns_jax(v, v >= 0, fill=0)
     )(flat)
-    dense = dense.transpose(0, 2, 1).reshape(N, slots)
+    dense = dense.transpose(0, 2, 1).reshape(N, total)
     counts = counts.reshape(N)
     errs = errs.reshape(G, 8, group).transpose(0, 2, 1).reshape(N, 8)
     return dense, counts, errs[:, 0], errs[:, 1]
 
 
+def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
+                               group, cell, seg, chunk):
+    """Chunked pallas driver: any block size with a statically bounded table.
+
+    One launch of `_make_kernel_chunk` per ``chunk`` steps; the dictionary
+    (dense table, parse state, append cursor) is carried between launches
+    through a `lax.scan`, and the dense table is hole-recompacted under XLA
+    after each launch — XLA compiles the log-step roll cascades fine, where
+    Mosaic does not (EVOLUTION.md V4).  Live entries per lane are bounded by
+    the dictionary's own reset/freeze semantics (`encoder.rs:330-333`,
+    `:645-647`) at < 4096, and per-chunk appends by the step count, so the
+    in-kernel table is exactly ``MAX_TABLE_SIZE + chunk`` rows at ANY block
+    size."""
+    N, B = blocks.shape
+    assert B == block_size and block_size % cell == 0
+    assert chunk % cell == 0 and cell % min(seg, cell) == 0
+    assert N % group == 0 and group % 128 == 0
+    seg = min(seg, cell)
+    sub = group // 128
+    G = N // group
+    slots = B + cell  # the final-prefix emission lands one step past lens
+    n_chunks = -(-slots // chunk)
+    total = n_chunks * chunk
+    R = MAX_TABLE_SIZE + chunk
+
+    x = blocks.astype(jnp.int32).reshape(G, sub, 128, B).transpose(0, 3, 1, 2)
+    x = jnp.concatenate(
+        [x, jnp.zeros((G, total - B, sub, 128), jnp.int32)], axis=1
+    )
+    xs = x.reshape(G, n_chunks, chunk, sub, 128).transpose(1, 0, 2, 3, 4)
+    l = lens.reshape(G, 1, sub, 128)
+
+    first_free = FIRST_FREE if spec_key is None else spec_key[0]
+    dense0 = jnp.full((G, R, sub, 128), HOLE, jnp.int32)
+    state0 = jnp.stack(
+        [jnp.zeros((G, sub, 128), jnp.int32),               # prefix
+         jnp.full((G, sub, 128), first_free, jnp.int32),    # next code
+         jnp.zeros((G, sub, 128), jnp.int32),               # error flag
+         jnp.zeros((G, sub, 128), jnp.int32)], axis=1,      # error code
+    )
+    cur0 = jnp.zeros((G, 1), jnp.int32)
+    offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
+
+    call = pl.pallas_call(
+        _make_kernel_chunk(seg, spec_key),
+        grid=(G, chunk // cell),
+        in_specs=[
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            pl.BlockSpec((1,), lambda g, c: (0,), memory_space=pltpu.SMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dense table (HBM)
+            pl.BlockSpec((1, 4, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            pl.BlockSpec((1, 1), lambda g, c: (g, 0),
+                         memory_space=pltpu.SMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+            pl.BlockSpec((1, 8, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # dense table (HBM)
+            pl.BlockSpec((1, 4, sub, 128), lambda g, c: (g, 0, 0, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((G, chunk, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, R, sub, 128), jnp.int32),
+            jax.ShapeDtypeStruct((G, 4, sub, 128), jnp.int32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((R, sub, 128), jnp.int32),     # dense working window
+            pltpu.VMEM((cell, sub, 128), jnp.int32),  # per-cell stage
+            pltpu.SMEM((1,), jnp.int32),              # append cursor
+            pltpu.SemaphoreType.DMA,                  # table in/out copies
+        ],
+        input_output_aliases={3: 2, 4: 3},
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=110 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )
+
+    def body(carry, xc):
+        dense, state, cur = carry
+        xi, off = xc
+        codes_c, errs_c, dense2, state2 = call(xi, l, off, dense, state, cur)
+        dense3, cnts = jax.vmap(
+            lambda v: compact_columns_jax(v, v != HOLE, fill=HOLE)
+        )(dense2)
+        cur2 = jnp.max(cnts.reshape(G, -1), axis=1).astype(jnp.int32)[:, None]
+        return (dense3, state2, cur2), (codes_c, errs_c)
+
+    (_, _, _), (codes_all, errs_all) = jax.lax.scan(
+        body, (dense0, state0, cur0), (xs, offs)
+    )
+    codes = codes_all.transpose(1, 0, 2, 3, 4).reshape(G, total, sub, 128)
+    return _compact_grouped_codes(codes, errs_all[-1], G, total, group, N)
+
+
+def group_for(block_size: int) -> int:
+    """Blocks-per-instance the kernels expect callers to pad to."""
+    return GROUP if block_size <= BLOCK_SIZE else GROUP_CHUNKED
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "little", "interpret", "group", "cell",
-                     "seg", "compact"),
+                     "seg", "compact", "chunk"),
 )
 def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
                             little: bool = True, interpret: bool = False,
-                            group: int = GROUP, cell: int = CELL,
-                            seg: int = SEG, compact: bool = False):
+                            group: int | None = None, cell: int = CELL,
+                            seg: int = SEG, compact: bool = False,
+                            chunk: int = CHUNK):
     """Fixed-12-bit block-parallel encode on TPU.
 
     Args:
-      blocks: u8[N, block_size], N a multiple of ``group``; block_size is at
-        most BLOCK_SIZE (the step-indexed table must fit VMEM; callers split
-        larger container blocks into BLOCK_SIZE device blocks).
+      blocks: u8[N, block_size], N a multiple of ``group``; block sizes past
+        BLOCK_SIZE run the chunked driver (`_run_encode_kernel_chunked`).
       lens:   i32[N] valid byte counts.
-      group: blocks per kernel instance (8*128 on hardware; smaller in
-        interpret-mode tests — must stay a multiple of 128).
-      cell/seg: streaming tile and scan segment sizes (test knobs).
+      group: blocks per kernel instance (``group_for(block_size)`` on
+        hardware; smaller in interpret-mode tests — a multiple of 128).
+      cell/seg/chunk: streaming tile / scan segment / launch sizes (knobs).
     Returns:
       payloads u8[N, PB] (zero-padded), lengths i32[N].
     """
-    dense, counts, _, _ = _run_encode_kernel(
-        blocks, lens, block_size, None, interpret, group, cell, seg, compact
-    )
+    if group is None:
+        group = group_for(block_size)
+    if block_size > BLOCK_SIZE:
+        dense, counts, _, _ = _run_encode_kernel_chunked(
+            blocks, lens, block_size, None, interpret, group, cell, seg,
+            chunk,
+        )
+    else:
+        dense, counts, _, _ = _run_encode_kernel(
+            blocks, lens, block_size, None, interpret, group, cell, seg,
+            compact,
+        )
     payloads, lengths = _pack12(dense, counts, little)
     return payloads, lengths
 
@@ -766,18 +968,21 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "block_size", "interpret", "group", "cell",
-                     "seg", "compact"),
+                     "seg", "compact", "chunk"),
 )
 def encode_blocks_variable_codes_tpu(blocks, lens, spec,
                                      block_size: int = BLOCK_SIZE,
                                      interpret: bool = False,
-                                     group: int = GROUP, cell: int = CELL,
-                                     seg: int = SEG, compact: bool = False):
+                                     group: int | None = None,
+                                     cell: int = CELL,
+                                     seg: int = SEG, compact: bool = False,
+                                     chunk: int = CHUNK):
     """Variable-flavor block encode on TPU: dense data codes per block.
 
     The wire layout of a variable stream is a static function of the
     emission ordinal (`lzw_tpu.kernels.schedule`), so the kernel only
     produces code values; callers pack with ``schedule.pack_variable``.
+    Block sizes past BLOCK_SIZE run the chunked driver.
 
     Returns (dense i32[N, S], counts i32[N], err i32[N], err_code i32[N]).
     """
@@ -787,6 +992,13 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
         spec.max_code_value,
         MAX_TABLE_SIZE - spec.strategy.increment,
     )
+    if group is None:
+        group = group_for(block_size)
+    if block_size > BLOCK_SIZE:
+        return _run_encode_kernel_chunked(
+            blocks, lens, block_size, spec_key, interpret, group, cell, seg,
+            chunk,
+        )
     return _run_encode_kernel(
         blocks, lens, block_size, spec_key, interpret, group, cell, seg,
         compact,

@@ -112,10 +112,15 @@ class BlockParallelCodec:
             use_pallas = jax.default_backend() == "tpu" or any(
                 d.platform == "tpu" for d in jax.devices()
             )
-        from lzw_tpu.kernels.encode_pallas import BLOCK_SIZE as _PB
+        from lzw_tpu.kernels.encode_pallas import CELL as _CELL
 
         self._on_tpu = use_pallas
-        self.use_pallas = use_pallas and block_size == _PB
+        # The encode kernels serve any block size that is a whole number of
+        # streaming cells (single-launch at <= 4 KiB, the chunked driver
+        # beyond); the device decode kernels additionally need block offsets
+        # to fit their packed 12-bit src fields (<= 4 KiB).
+        self.use_pallas = use_pallas and block_size % _CELL == 0
+        self._pallas_decode_ok = self.use_pallas and block_size <= 4096
 
         ax = self.axis
 
@@ -196,8 +201,9 @@ class BlockParallelCodec:
             from lzw_tpu.kernels import encode_pallas as _ep, schedule as _sched
             from lzw_tpu.spec import Endianness
 
-            if N % _ep.GROUP != 0:
-                pad = ((N + _ep.GROUP - 1) // _ep.GROUP) * _ep.GROUP - N
+            grp = _ep.group_for(self.block_size)
+            if N % grp != 0:
+                pad = ((N + grp - 1) // grp) * grp - N
                 blocks = np.concatenate(
                     [blocks, np.zeros((pad, self.block_size), np.uint8)]
                 )
@@ -251,7 +257,8 @@ class BlockParallelCodec:
         if header.n_blocks == 0:
             return b""
 
-        if self.spec.variable and self.use_pallas and self._native() is not None:
+        if (self.spec.variable and self._pallas_decode_ok
+                and self._native() is not None):
             out = self._decode_variable_device(header, payloads)
             if out is not None:
                 return out
@@ -267,8 +274,9 @@ class BlockParallelCodec:
                 )
             return out
 
-        # Non-kernel block size on a TPU host: threaded native runtime.
-        if (self._on_tpu and not self.use_pallas
+        # No device decode path (non-cell block size, or blocks too big for
+        # the kernels' packed 12-bit src fields): threaded native runtime.
+        if (self._on_tpu and not self._pallas_decode_ok
                 and self._native() is not None):
             out = self._native().decode_blocks(
                 [bytes(p) for p in payloads], self.spec, self.block_size
@@ -281,7 +289,7 @@ class BlockParallelCodec:
             return out
 
         use_pallas_decode = (
-            self.use_pallas
+            self._pallas_decode_ok
             and not self.spec.variable
             and self._native() is not None
         )
@@ -356,7 +364,7 @@ class BlockParallelCodec:
         for i, p in enumerate(payloads):
             mat[i, : len(p)] = np.frombuffer(p, np.uint8)
             plens[i] = len(p)
-        words, counts, totals, errs, err_codes, strict = (
+        words, counts, totals, errs, err_codes, strict, _ = (
             decode_pass1_variable_tpu(mat, plens, self.spec, self.block_size)
         )
         if not strict[:n].all():

@@ -44,7 +44,7 @@ def main():
         plens[i] = len(p)
 
     t0 = time.perf_counter()
-    words, counts, totals, errs, err_codes, strict = (
+    words, counts, totals, errs, err_codes, strict, _ = (
         decode_pallas.decode_pass1_variable_tpu(payloads, plens, spec, B)
     )
     words_np = np.asarray(words)

@@ -118,7 +118,7 @@ class TestVariableStrict:
         for i, p in enumerate(payload_list):
             payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
             plens[i] = len(p)
-        words, counts, totals, errs, err_codes, strict = (
+        words, counts, totals, errs, err_codes, strict, _ = (
             decode_pallas.decode_pass1_variable_tpu(
                 payloads, plens, spec, block_size, interpret=True, **kw
             )
@@ -167,7 +167,7 @@ class TestVariableStrict:
         payloads[0, : len(enc)] = np.frombuffer(enc, np.uint8)
         plens = np.zeros(128, np.int32)
         plens[0] = len(enc)
-        *_, strict = decode_pallas.decode_pass1_variable_tpu(
+        *_, strict, _tabs = decode_pallas.decode_pass1_variable_tpu(
             payloads, plens, spec, 128, interpret=True, group=128,
             cell=64, seg=64,
         )
@@ -220,3 +220,61 @@ class TestDevicePass2:
         datas = [rng.integers(0, 64, size=4096).astype(np.uint8).tobytes()]
         got = self._roundtrip(datas, FIXED_LE, 4096, cell=512, seg=512)
         assert got[0] == datas[0]
+
+
+class TestVariableAllDevice:
+    def test_variable_all_device_round_trip(self):
+        # Pass 2 with row-matched pair lookups: the per-word epoch start
+        # rides the high bits of the codes matrix (static schedule).
+        spec = LzwSpec.gif(7)
+        rng = np.random.default_rng(8)
+        datas = [
+            rng.integers(0, 128, size=int(rng.integers(0, 129))).astype(
+                np.uint8
+            ).tobytes()
+            for _ in range(8)
+        ] + [(b"zqzq" * 40)[:128], bytes([7] * 100), b""]
+        pls = [oracle.encode_bytes(d, spec) for d in datas]
+        n = len(pls)
+        N = 128
+        pb = max(len(p) for p in pls)
+        payloads = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        for i, p in enumerate(pls):
+            payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        out, totals, errs, _, strict = (
+            decode_pallas.decode_variable_all_device(
+                payloads, plens, spec, 128, interpret=True, group=128,
+                cell=64, seg=64, group2=128, seg2=64,
+            )
+        )
+        assert strict[:n].all()
+        assert not np.asarray(errs)[:n].any()
+        out = np.asarray(out)
+        totals = np.asarray(totals)
+        for i, d in enumerate(datas):
+            assert out[i, : totals[i]].tobytes() == d, f"block {i}"
+
+    @pytest.mark.slow
+    def test_variable_all_device_with_reset(self):
+        # A stream long enough to CLEAR-reset: epoch tracking in pass 2
+        # must follow each word into its own epoch's pair rows.
+        spec = LzwSpec.variable(8, Endianness.LITTLE)
+        rng = np.random.default_rng(9)
+        data = rng.integers(0, 256, size=4096).astype(np.uint8).tobytes()
+        p = oracle.encode_bytes(data, spec)
+        N = 128
+        pb = len(p)
+        payloads = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        payloads[0, :] = np.frombuffer(p, np.uint8)
+        plens[0] = len(p)
+        out, totals, errs, _, strict = (
+            decode_pallas.decode_variable_all_device(
+                payloads, plens, spec, 4096, interpret=True, group=128,
+                cell=512, seg=128, group2=128, seg2=128,
+            )
+        )
+        assert strict[0] and not np.asarray(errs)[0]
+        assert np.asarray(out)[0, : np.asarray(totals)[0]].tobytes() == data

@@ -226,3 +226,35 @@ def test_stage_variant_recompaction():
     for i in range(2):
         expect = oracle.encode_bytes(lanes[i].tobytes(), spec)
         assert payloads[i, : lengths[i]].tobytes() == expect, f"lane {i}"
+
+
+@pytest.mark.slow
+def test_chunked_driver_matches_oracle():
+    # Block sizes past BLOCK_SIZE run one launch per chunk with the
+    # dictionary carried and XLA-recompacted between launches.
+    spec = FIXED_LE
+    rng = np.random.default_rng(23)
+    B = 2048
+    blocks = [
+        rng.integers(0, 256, size=900).astype(np.uint8).tobytes()
+        + (b"steady pattern " * 200)[:1148],
+        rng.integers(0, 8, size=B).astype(np.uint8).tobytes(),
+        b"",
+        b"\x07\x07\x07",
+    ]
+    mat = np.zeros((128, B), np.uint8)
+    lens = np.zeros(128, np.int32)
+    for i, b in enumerate(blocks):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    from lzw_tpu.kernels.encode_pallas import _run_encode_kernel_chunked
+
+    dense, counts, errs, _ = _run_encode_kernel_chunked(
+        jnp.asarray(mat), jnp.asarray(lens), B, None, True, 128, 128, 128,
+        512,
+    )
+    payloads, lengths = encode_pallas._pack12(dense, counts, True)
+    payloads, lengths = np.asarray(payloads), np.asarray(lengths)
+    for i, b in enumerate(blocks):
+        expect = oracle.encode_bytes(b, spec)
+        assert payloads[i, : lengths[i]].tobytes() == expect, f"block {i}"

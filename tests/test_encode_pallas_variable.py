@@ -285,3 +285,61 @@ def test_stage_variant_dictionary_reset():
         assert payloads[i, : lengths[i]].tobytes() == oracle.encode_bytes(
             d, spec
         ), f"lane {i}"
+
+
+def test_chunked_variable_matches_oracle():
+    # The chunked driver (block sizes past BLOCK_SIZE) under a variable spec.
+    spec = LzwSpec.gif(7)
+    rng = np.random.default_rng(31)
+    B = 1024
+    blocks = [
+        (b"the quick brown fox jumps " * 64)[:B],
+        rng.integers(0, 128, size=B).astype(np.uint8).tobytes(),
+        b"",
+    ]
+    mat = np.zeros((128, B), np.uint8)
+    lens = np.zeros(128, np.int32)
+    for i, b in enumerate(blocks):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    dense, counts, errs, _ = encode_pallas.encode_blocks_variable_codes_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), spec, B,
+        interpret=True, group=128, cell=128, seg=128, chunk=512,
+    )
+    assert not np.asarray(errs)[:3].any()
+    payloads, lengths = schedule.pack_variable(
+        np.asarray(dense)[:3], np.asarray(counts)[:3], spec, fix_eoi=True
+    )
+    for i, b in enumerate(blocks):
+        got = payloads[i, : lengths[i]].tobytes()
+        assert got == oracle.encode_bytes(b, spec), f"block {i}"
+
+
+@pytest.mark.slow
+def test_chunked_variable_dictionary_reset():
+    # Random bytes at cs=8 overflow the 4096-entry table inside chunk 3: the
+    # CLEAR reset (column wipe) must survive the between-chunk recompaction
+    # and the carried cursor/state.
+    spec = LzwSpec.variable(8, Endianness.LITTLE)
+    rng = np.random.default_rng(33)
+    B = 4224
+    mat = np.zeros((128, B), np.uint8)
+    mat[0] = rng.integers(0, 256, size=B)
+    mat[1] = np.frombuffer((b"ab" * (B // 2)), np.uint8)
+    lens = np.zeros(128, np.int32)
+    lens[:2] = B
+    dense, counts, errs, _ = encode_pallas.encode_blocks_variable_codes_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), spec, B,
+        interpret=True, group=128, cell=128, seg=128, chunk=1152,
+    )
+    assert not np.asarray(errs)[:2].any()
+    n0 = int(np.asarray(counts)[0])
+    sched = schedule.emission_schedule(spec, n0 + 1)
+    assert sched.clear_after[:n0].any(), "test data never tripped a reset"
+    payloads, lengths = schedule.pack_variable(
+        np.asarray(dense)[:2], np.asarray(counts)[:2], spec, fix_eoi=True
+    )
+    for i in range(2):
+        d = mat[i].tobytes()
+        got = payloads[i, : lengths[i]].tobytes()
+        assert got == oracle.encode_bytes(d, spec), f"lane {i}"
