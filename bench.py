@@ -137,8 +137,16 @@ def main() -> None:
                 db_d = jnp.tile(db, (reps_d, 1))[:Nd] if reps_d > 1 \
                     else db[:Nd]
                 bufs_d, len_d = f(db_d, jnp.full((Nd,), B, jnp.int32))
-                PB3 = ((bufs_d.shape[1] + 2) // 3) * 3
-                pay = jnp.pad(bufs_d, ((0, 0), (0, PB3 - bufs_d.shape[1])))
+                # Trim to the actual compressed bound (the kernel's VMEM
+                # scratch scales with the code-slot count).
+                pb_act = int(np.asarray(jnp.max(len_d)))
+                PB3 = ((pb_act + 2) // 3) * 3
+                if PB3 <= bufs_d.shape[1]:
+                    pay = bufs_d[:, :PB3]
+                else:
+                    pay = jnp.pad(
+                        bufs_d, ((0, 0), (0, PB3 - bufs_d.shape[1]))
+                    )
 
                 @jax.jit
                 def _dec(pay_, nb_):

@@ -444,8 +444,8 @@ def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
 def decode_variable_all_device(payloads, plens, spec, block_size: int,
                                interpret: bool = False,
                                group: int = GROUP_VAR, cell: int = CELL,
-                               seg: int = 128, group2: int = 1024,
-                               seg2: int = 128):
+                               seg: int = 128, group2: int = 2048,
+                               seg2: int = 256):
     """Whole variable-flavor decode on the chip (strict streams).
 
     Pass 1 builds the copy descriptors and pair table; pass 2 chain-walks
@@ -587,8 +587,8 @@ def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False):
 )
 def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
                         alphabet: int = 256, interpret: bool = False,
-                        group: int = 1024, cell: int = CELL,
-                        seg: int = 128, variable: bool = False):
+                        group: int = 2048, cell: int = CELL,
+                        seg: int = 256, variable: bool = False):
     """All-device pass 2: copy-free chain walk -> decoded bytes.
 
     Args:

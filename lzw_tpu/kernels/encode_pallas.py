@@ -743,7 +743,7 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     assert B == block_size
     if compact != "stage":
         assert block_size <= BLOCK_SIZE  # step-indexed tables track steps
-    assert block_size % cell == 0 and cell % min(seg, 128) == 0
+    assert block_size % cell == 0 and cell % min(seg, cell) == 0
     assert N % group == 0 and group % 128 == 0
     sub = group // 128
     G = N // group
@@ -757,7 +757,7 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     l = lens.reshape(G, 1, sub, 128)
 
     if compact == "stage":
-        kernel = _make_kernel_stage(min(seg, 128), block_size, spec_key)
+        kernel = _make_kernel_stage(min(seg, cell), block_size, spec_key)
         scratch = [
             pltpu.VMEM((MAX_TABLE_SIZE + cell, sub, 128), jnp.int32),  # dense
             pltpu.VMEM((cell, sub, 128), jnp.int32),  # per-cell stage

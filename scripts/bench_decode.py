@@ -72,8 +72,11 @@ def main() -> None:
 
     # Encode on device (fixed LE), pad payload bound to a multiple of 3.
     bufs, nb = ep.encode_blocks_fixed_tpu(blocks, jnp.asarray(lens), B)
-    PB = ((bufs.shape[1] + 2) // 3) * 3
-    payloads = jnp.pad(bufs, ((0, 0), (0, PB - bufs.shape[1])))
+    pb_act = int(np.asarray(jnp.max(nb)))
+    PB = ((pb_act + 2) // 3) * 3
+    payloads = bufs[:, :PB] if PB <= bufs.shape[1] else jnp.pad(
+        bufs, ((0, 0), (0, PB - bufs.shape[1]))
+    )
     np.asarray(nb[:4])
     print(f"# encoded; payload matrix {payloads.shape}", file=sys.stderr)
 
