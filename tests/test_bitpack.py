@@ -45,10 +45,15 @@ class TestKnownAnswersNp:
 
     # io.rs:360-375 / :403-418
     def test_read_12_16(self):
-        assert bitpack.unpack_fixed_np(np.frombuffer(bytes([0xFF, 0x0F]), np.uint8), 12, LE)[0] == 0xFFF
-        assert bitpack.unpack_fixed_np(np.frombuffer(bytes([0xFF, 0xF0]), np.uint8), 12, BE)[0] == 0xFFF
-        assert bitpack.unpack_fixed_np(np.frombuffer(bytes([0xFA, 0xFF]), np.uint8), 16, LE)[0] == 0xFFFA
-        assert bitpack.unpack_fixed_np(np.frombuffer(bytes([0xFF, 0xFA]), np.uint8), 16, BE)[0] == 0xFFFA
+        def one(byts, width, endianness):
+            return bitpack.unpack_fixed_np(
+                np.frombuffer(bytes(byts), np.uint8), width, endianness
+            )[0]
+
+        assert one([0xFF, 0x0F], 12, LE) == 0xFFF
+        assert one([0xFF, 0xF0], 12, BE) == 0xFFF
+        assert one([0xFA, 0xFF], 16, LE) == 0xFFFA
+        assert one([0xFF, 0xFA], 16, BE) == 0xFFFA
 
     # io.rs:534-571 round-trips through the 12-bit iterator
     @pytest.mark.parametrize("endianness", [LE, BE])
