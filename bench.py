@@ -223,6 +223,32 @@ def main() -> None:
                      f"({vrate/BASELINE_VAR_ENCODE:.2f}x reference)")
         except Exception as e:  # pragma: no cover
             note(f"variable-64k metric skipped: {e!r}")
+
+        try:  # text corpus (reference anchors: encode 85, decode 220 MiB/s)
+            txt = (ASSETS / "lorem_ipsum.txt").read_bytes()
+            tx = jnp.asarray(np.frombuffer(txt, np.uint8))
+            reps_t = -(-(N * B) // len(txt))
+            dbt = jnp.tile(tx, reps_t)[: N * B].reshape(N, B)
+            np.asarray(dbt[0, :4])
+            bufs_t, nb_t = f(dbt, dl)
+            np.asarray(nb_t[:4])
+            bt = float("inf")
+            for rep in range(2):
+                dvt = dbt.at[0, 0].set((rep + 7) % 251)
+                np.asarray(dvt[0, :4])
+                t0 = time.perf_counter()
+                bufs_t, nb_t = f(dvt, dl)
+                np.asarray(nb_t[:4])
+                bt = min(bt, time.perf_counter() - t0)
+            trate = N * B / bt
+            extra["fixed12_encode_text_bytes_per_s_1chip"] = round(trate, 1)
+            extra["fixed12_encode_text_vs_baseline"] = round(
+                trate / (85 * (1 << 20)), 4
+            )
+            note(f"text encode: {trate/2**20:.1f} MiB/s "
+                 f"({trate/(85*(1<<20)):.2f}x reference)")
+        except Exception as e:  # pragma: no cover
+            note(f"text metric skipped: {e!r}")
         # Correctness gate: container round-trip on a slice through the full
         # host pipeline, decoded with the independent native runtime.
         codec = BlockParallelCodec(spec, block_size=B)

@@ -43,6 +43,7 @@ def main() -> None:
     ap.add_argument("--chunk", type=int, default=4096)
     ap.add_argument("--group", type=int, default=None)
     ap.add_argument("--seg", type=int, default=512)
+    ap.add_argument("--cell", type=int, default=512)
     ap.add_argument("--mb", type=int, default=64)
     ap.add_argument("--corpus", default="image")
     ap.add_argument("--reps", type=int, default=3)
@@ -94,7 +95,7 @@ def main() -> None:
         if spec.variable:
             dense, counts, errs, _ = ep.encode_blocks_variable_codes_tpu(
                 d, dl, spec, B, group=group, chunk=args.chunk, seg=args.seg,
-                compact="stage",
+                cell=args.cell, compact="stage",
             )
             bufs, nb = sched.pack_variable_device(
                 dense, counts, spec, fix_eoi=True
@@ -102,7 +103,7 @@ def main() -> None:
         else:
             bufs, nb = ep.encode_blocks_fixed_tpu(
                 d, dl, B, group=group, chunk=args.chunk, seg=args.seg,
-                compact="stage",
+                cell=args.cell, compact="stage",
             )
         return bufs, nb
 
