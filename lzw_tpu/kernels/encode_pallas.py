@@ -58,7 +58,10 @@ CHUNK = 2048  # steps per launch of the chunked driver (the working table is
 # MAX_TABLE_SIZE + CHUNK rows; 2048 keeps it + the scan temporaries inside
 # VMEM at 16 sublanes, and measures within noise of 4096 on the corpora)
 CELL = 512  # steps per grid cell (VMEM streaming tile)
-SEG = 512  # scan segment rows
+SEG = 512  # scan segment rows (dense-table scan)
+SSEG = 128  # stage-scan segment rows: the stage holds only rows [0, j) live
+# at step j, so scanning it in smaller segments bounded by j skips the dead
+# tail of the 512-row buffer (~1/4 of all scan work at CELL=512)
 # Table hole: entry code fields are always >= 256 (first dynamic code), so a
 # zero word can never satisfy the range test below.
 HOLE = 0
@@ -228,10 +231,15 @@ def _make_kernel_bucket(seg: int, spec_key=None):
 
 
 def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
-                   seg, sub, spec_key):
+                   seg, sub, spec_key, sseg=None):
     """The staged-append parse step, shared by the single-launch and chunked
     kernels.  ``off`` is the global stream index of this cell's step 0 (a
-    traced scalar: ``c*cell`` single-launch, ``chunk0 + c*cell`` chunked)."""
+    traced scalar: ``c*cell`` single-launch, ``chunk0 + c*cell`` chunked).
+    ``sseg`` is the stage-scan segment size (defaults to ``seg``): only rows
+    [0, j) of the stage are live at step j, so a smaller segment bounds the
+    stage sweep by the step index instead of the whole buffer."""
+    if sseg is None:
+        sseg = seg
     variable = spec_key is not None
     if variable:
         first_free, max_code, reset_threshold = spec_key
@@ -269,13 +277,13 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
         matched_d = jax.lax.fori_loop(0, n_dense, scan_dense, neg)
 
         def scan_stage(s, acc):
-            rows = stage_ref[pl.ds(s * seg, seg)]
+            rows = stage_ref[pl.ds(s * sseg, sseg)]
             d = rows - tbase[None]
             sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
             return jnp.maximum(acc, jnp.max(sel, axis=0))
 
         matched_d = jax.lax.fori_loop(
-            0, (j + seg - 1) // seg, scan_stage, matched_d
+            0, (j + sseg - 1) // sseg, scan_stage, matched_d
         )
 
         matched = matched_d + first_free
@@ -325,7 +333,7 @@ def _stage_append(dense_ref, stage_ref, cur_ref, cell):
     cur_ref[0] = k0 + jnp.max(cnt)
 
 
-def _make_kernel_chunk(seg: int, spec_key=None):
+def _make_kernel_chunk(seg: int, spec_key=None, sseg: int | None = None):
     """Chunked staged-append kernel: ONE launch per CHUNK steps, dictionary
     state (dense table, parse state, cursor) carried as kernel I/O.
 
@@ -368,7 +376,7 @@ def _make_kernel_chunk(seg: int, spec_key=None):
 
         step = _stage_step_fn(
             x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense, seg,
-            sub, spec_key,
+            sub, spec_key, sseg,
         )
         carry = tuple(state_out_ref[0, r] for r in range(4))
         carry = jax.lax.fori_loop(0, cell, step, carry)
@@ -390,7 +398,8 @@ def _make_kernel_chunk(seg: int, spec_key=None):
     return kernel
 
 
-def _make_kernel_stage(seg: int, block_size: int, spec_key=None):
+def _make_kernel_stage(seg: int, block_size: int, spec_key=None,
+                       sseg: int | None = None):
     """Staged-append kernel (all flavors): bounded VMEM at ANY block size.
 
     The dictionary holds at most 4096 live entries (the fixed flavor
@@ -435,7 +444,7 @@ def _make_kernel_stage(seg: int, block_size: int, spec_key=None):
 
         step = _stage_step_fn(
             x_ref, out_ref, dense_ref, stage_ref, lens, base, n_dense, seg,
-            sub, spec_key,
+            sub, spec_key, sseg,
         )
         carry = tuple(state_ref[r] for r in range(4))
         carry = jax.lax.fori_loop(0, cell, step, carry)
@@ -737,7 +746,7 @@ def _pack12(dense, counts, little: bool):
 
 
 def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
-                       cell, seg, compact=False):
+                       cell, seg, compact=False, sseg=None):
     """Shared pallas_call driver; returns (codes [G,slots,sub,128], err)."""
     N, B = blocks.shape
     assert B == block_size
@@ -757,7 +766,11 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     l = lens.reshape(G, 1, sub, 128)
 
     if compact == "stage":
-        kernel = _make_kernel_stage(min(seg, cell), block_size, spec_key)
+        if sseg is not None:
+            sseg = min(sseg, cell)
+            assert cell % sseg == 0
+        kernel = _make_kernel_stage(min(seg, cell), block_size, spec_key,
+                                    sseg)
         scratch = [
             pltpu.VMEM((MAX_TABLE_SIZE + cell, sub, 128), jnp.int32),  # dense
             pltpu.VMEM((cell, sub, 128), jnp.int32),  # per-cell stage
@@ -826,7 +839,7 @@ def _compact_grouped_codes(codes, errs, G, total, group, N):
 
 
 def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
-                               group, cell, seg, chunk):
+                               group, cell, seg, chunk, sseg=None):
     """Chunked pallas driver: any block size with a statically bounded table.
 
     One launch of `_make_kernel_chunk` per ``chunk`` steps; the dictionary
@@ -868,8 +881,11 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
     cur0 = jnp.zeros((G, 1), jnp.int32)
     offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
 
+    if sseg is not None:
+        sseg = min(sseg, cell)
+        assert cell % sseg == 0
     call = pl.pallas_call(
-        _make_kernel_chunk(seg, spec_key),
+        _make_kernel_chunk(seg, spec_key, sseg),
         grid=(G, chunk // cell),
         in_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
@@ -930,13 +946,13 @@ def group_for(block_size: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "little", "interpret", "group", "cell",
-                     "seg", "compact", "chunk"),
+                     "seg", "compact", "chunk", "sseg"),
 )
 def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
                             little: bool = True, interpret: bool = False,
                             group: int | None = None, cell: int = CELL,
                             seg: int = SEG, compact: bool = False,
-                            chunk: int = CHUNK):
+                            chunk: int = CHUNK, sseg: int | None = SSEG):
     """Fixed-12-bit block-parallel encode on TPU.
 
     Args:
@@ -954,12 +970,12 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
     if block_size > BLOCK_SIZE:
         dense, counts, _, _ = _run_encode_kernel_chunked(
             blocks, lens, block_size, None, interpret, group, cell, seg,
-            chunk,
+            chunk, sseg,
         )
     else:
         dense, counts, _, _ = _run_encode_kernel(
             blocks, lens, block_size, None, interpret, group, cell, seg,
-            compact,
+            compact, sseg,
         )
     payloads, lengths = _pack12(dense, counts, little)
     return payloads, lengths
@@ -968,7 +984,7 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "block_size", "interpret", "group", "cell",
-                     "seg", "compact", "chunk"),
+                     "seg", "compact", "chunk", "sseg"),
 )
 def encode_blocks_variable_codes_tpu(blocks, lens, spec,
                                      block_size: int = BLOCK_SIZE,
@@ -976,7 +992,8 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
                                      group: int | None = None,
                                      cell: int = CELL,
                                      seg: int = SEG, compact: bool = False,
-                                     chunk: int = CHUNK):
+                                     chunk: int = CHUNK,
+                                     sseg: int | None = SSEG):
     """Variable-flavor block encode on TPU: dense data codes per block.
 
     The wire layout of a variable stream is a static function of the
@@ -997,9 +1014,9 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
     if block_size > BLOCK_SIZE:
         return _run_encode_kernel_chunked(
             blocks, lens, block_size, spec_key, interpret, group, cell, seg,
-            chunk,
+            chunk, sseg,
         )
     return _run_encode_kernel(
         blocks, lens, block_size, spec_key, interpret, group, cell, seg,
-        compact,
+        compact, sseg,
     )
