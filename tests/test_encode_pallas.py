@@ -177,6 +177,36 @@ def test_stage_variant_matches_oracle():
         assert payloads[i, : lengths[i]].tobytes() == expect, f"block {i}"
 
 
+@pytest.mark.parametrize("sseg", [32, 64])
+def test_stage_variant_sseg_finer_than_seg(sseg):
+    # The stage sweep runs in sseg-row segments bounded by the step index
+    # (V8, EVOLUTION.md); sseg strictly finer than the dense seg must not
+    # change the wire bytes.
+    spec = FIXED_LE
+    rng = np.random.default_rng(11)
+    blocks = [
+        rng.integers(0, 256, size=int(rng.integers(1, 129))).astype(
+            np.uint8
+        ).tobytes()
+        for _ in range(6)
+    ] + [bytes([5] * 50 + [6] * 30 + [5, 6, 7] * 16)]
+    n = len(blocks)
+    mat = np.zeros((128, 128), np.uint8)
+    lens = np.zeros(128, np.int32)
+    for i, b in enumerate(blocks):
+        mat[i, : len(b)] = np.frombuffer(b, np.uint8)
+        lens[i] = len(b)
+    payloads, lengths = encode_pallas.encode_blocks_fixed_tpu(
+        jnp.asarray(mat), jnp.asarray(lens), 128,
+        interpret=True, group=128, cell=128, seg=128, compact="stage",
+        sseg=sseg,
+    )
+    payloads, lengths = np.asarray(payloads), np.asarray(lengths)
+    for i, b in enumerate(blocks):
+        expect = oracle.encode_bytes(b, spec)
+        assert payloads[i, : lengths[i]].tobytes() == expect, f"block {i}"
+
+
 @pytest.mark.slow
 def test_stage_variant_big_block():
     # 16 KiB block: the dictionary freezes mid-block; dense table stays
@@ -251,7 +281,7 @@ def test_chunked_driver_matches_oracle():
 
     dense, counts, errs, _ = _run_encode_kernel_chunked(
         jnp.asarray(mat), jnp.asarray(lens), B, None, True, 128, 128, 128,
-        512,
+        512, 32,  # sseg finer than the dense seg (V8)
     )
     payloads, lengths = encode_pallas._pack12(dense, counts, True)
     payloads, lengths = np.asarray(payloads), np.asarray(lengths)
