@@ -60,6 +60,26 @@ def bench_native(spec, name, corpus_name, data, results, repeats=3):
                                             f'"corpus": "{corpus_name}"}}'))
 
 
+def bench_oracle(spec, name, corpus_name, data, results, repeats=3):
+    """Scalar NumPy oracle — the in-repo semantics reference
+    (`lzw_tpu/ops/reference.py`), the analog of benching the `lzw` crate."""
+    from lzw_tpu.ops import reference as oracle
+
+    enc = oracle.encode_bytes(data, spec)
+    best = min(
+        _t(lambda: oracle.encode_bytes(data, spec)) for _ in range(repeats)
+    )
+    results.append(RunMetrics("encode", name, len(data), len(enc), best)
+                   .to_json().replace('"}', f'", "backend": "oracle", '
+                                            f'"corpus": "{corpus_name}"}}'))
+    best = min(
+        _t(lambda: oracle.decode_bytes(enc, spec)) for _ in range(repeats)
+    )
+    results.append(RunMetrics("decode", name, len(enc), len(data), best)
+                   .to_json().replace('"}', f'", "backend": "oracle", '
+                                            f'"corpus": "{corpus_name}"}}'))
+
+
 def bench_device(spec, name, corpus_name, data, results, repeats=3):
     """HBM-to-HBM kernel rates on the chip (input blocks resident, payload
     matrix / decoded matrix produced on device) — the apples-to-apples
@@ -192,6 +212,7 @@ def main():
     for corpus_name, data in corpus.items():
         data = data * args.scale
         for name, spec in FLAVORS.items():
+            bench_oracle(spec, name, corpus_name, data, results)
             bench_native(spec, name, corpus_name, data, results)
             if args.device:
                 bench_device(spec, name, corpus_name, data, results)
