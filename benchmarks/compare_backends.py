@@ -203,6 +203,9 @@ def main():
     ap.add_argument("--json", type=pathlib.Path, default=None)
     ap.add_argument("--device", action="store_true",
                     help="include the TPU device path")
+    ap.add_argument("--oracle", action="store_true",
+                    help="include the scalar Python oracle (slow on "
+                         "--scale'd corpora; minutes per MiB)")
     ap.add_argument("--scale", type=int, default=1,
                     help="corpus replication factor")
     args = ap.parse_args()
@@ -212,7 +215,8 @@ def main():
     for corpus_name, data in corpus.items():
         data = data * args.scale
         for name, spec in FLAVORS.items():
-            bench_oracle(spec, name, corpus_name, data, results)
+            if args.oracle:
+                bench_oracle(spec, name, corpus_name, data, results)
             bench_native(spec, name, corpus_name, data, results)
             if args.device:
                 bench_device(spec, name, corpus_name, data, results)

@@ -230,16 +230,32 @@ def _make_kernel_bucket(seg: int, spec_key=None):
     return kernel
 
 
+def _clamp_sseg(sseg: int | None, cell: int) -> int | None:
+    """Clamp the stage-scan segment to the cell; when it does not divide the
+    cell evenly, fall back to whole-cell sweeps (the pre-sseg behavior)
+    instead of rejecting an otherwise-valid static config."""
+    if sseg is None:
+        return None
+    sseg = min(sseg, cell)
+    return sseg if cell % sseg == 0 else cell
+
+
 def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
-                   seg, sub, spec_key, sseg=None):
+                   seg, sub, spec_key, sseg=None, range_test="full"):
     """The staged-append parse step, shared by the single-launch and chunked
     kernels.  ``off`` is the global stream index of this cell's step 0 (a
     traced scalar: ``c*cell`` single-launch, ``chunk0 + c*cell`` chunked).
     ``sseg`` is the stage-scan segment size (defaults to ``seg``): only rows
     [0, j) of the stage are live at step j, so a smaller segment bounds the
-    stage sweep by the step index instead of the whole buffer."""
+    stage sweep by the step index instead of the whole buffer.
+    ``range_test`` selects the scan's match-test form — "full" (the shipped
+    two-compare range test) or "drop_ge" (single compare; negatives lose the
+    running max anyway) — so A/B scripts measure the one shared
+    implementation instead of a drifting copy."""
     if sseg is None:
         sseg = seg
+    assert range_test in ("full", "drop_ge")
+    full_test = range_test == "full"
     variable = spec_key is not None
     if variable:
         first_free, max_code, reset_threshold = spec_key
@@ -265,21 +281,24 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
         tbase = (key << 12) + first_free
         neg = jnp.full((sub, 128), -1, jnp.int32)
 
-        def scan_dense(s, acc):
-            rows = dense_ref[pl.ds(s * seg, seg)]
-            d = rows - tbase[None]
+        def match(d):
             # NOTE: a single unsigned compare (u32(d) < dyn) measures 9%
             # SLOWER on chip than this two-compare form — Mosaic fuses the
             # signed range test; don't "optimize" it.
-            sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
+            if full_test:
+                return jnp.where((d >= 0) & (d < dyn_codes), d, -1)
+            return jnp.where(d < dyn_codes, d, -1)  # negatives lose the max
+
+        def scan_dense(s, acc):
+            rows = dense_ref[pl.ds(s * seg, seg)]
+            sel = match(rows - tbase[None])
             return jnp.maximum(acc, jnp.max(sel, axis=0))
 
         matched_d = jax.lax.fori_loop(0, n_dense, scan_dense, neg)
 
         def scan_stage(s, acc):
             rows = stage_ref[pl.ds(s * sseg, sseg)]
-            d = rows - tbase[None]
-            sel = jnp.where((d >= 0) & (d < dyn_codes), d, -1)
+            sel = match(rows - tbase[None])
             return jnp.maximum(acc, jnp.max(sel, axis=0))
 
         matched_d = jax.lax.fori_loop(
@@ -766,9 +785,7 @@ def _run_encode_kernel(blocks, lens, block_size, spec_key, interpret, group,
     l = lens.reshape(G, 1, sub, 128)
 
     if compact == "stage":
-        if sseg is not None:
-            sseg = min(sseg, cell)
-            assert cell % sseg == 0
+        sseg = _clamp_sseg(sseg, cell)
         kernel = _make_kernel_stage(min(seg, cell), block_size, spec_key,
                                     sseg)
         scratch = [
@@ -881,9 +898,7 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
     cur0 = jnp.zeros((G, 1), jnp.int32)
     offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
 
-    if sseg is not None:
-        sseg = min(sseg, cell)
-        assert cell % sseg == 0
+    sseg = _clamp_sseg(sseg, cell)
     call = pl.pallas_call(
         _make_kernel_chunk(seg, spec_key, sseg),
         grid=(G, chunk // cell),
@@ -891,7 +906,7 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
             pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
             pl.BlockSpec((1,), lambda g, c: (0,), memory_space=pltpu.SMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dense table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # dense table (HBM)
             pl.BlockSpec((1, 4, sub, 128), lambda g, c: (g, 0, 0, 0)),
             pl.BlockSpec((1, 1), lambda g, c: (g, 0),
                          memory_space=pltpu.SMEM),
@@ -899,7 +914,7 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
         out_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
             pl.BlockSpec((1, 8, sub, 128), lambda g, c: (g, 0, 0, 0)),
-            pl.BlockSpec(memory_space=pltpu.ANY),  # dense table (HBM)
+            pl.BlockSpec(memory_space=pl.ANY),  # dense table (HBM)
             pl.BlockSpec((1, 4, sub, 128), lambda g, c: (g, 0, 0, 0)),
         ],
         out_shape=[

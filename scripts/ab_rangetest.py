@@ -4,9 +4,12 @@ Negative deltas (smaller keys, holes) always lose the running max against
 the -1 accumulator, so the d>=0 arm is semantically redundant; this checks
 whether Mosaic's fused range test is also the faster form (the in-code NOTE
 says a single *unsigned* compare measured 9% slower — this is the third
-form).  Monkeypatches the step fn before any trace so the persistent cache
+form).  Both variants run the ONE shared `_stage_step_fn` implementation
+(its ``range_test`` parameter), so the A/B can never drift from the real
+kernel; the partial is applied before any trace so the persistent cache
 keys on distinct HLO."""
 
+import functools
 import pathlib
 import sys
 import time
@@ -28,90 +31,19 @@ ASSETS = pathlib.Path(__file__).resolve().parent.parent / "test-assets"
 DROP_GE = len(sys.argv) > 2 and sys.argv[2] == "drop"
 
 if DROP_GE:
-    _orig = ep._stage_step_fn
+    ep._stage_step_fn = functools.partial(
+        ep._stage_step_fn, range_test="drop_ge"
+    )
 
-    def _patched(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
-                 seg, sub, spec_key, sseg=None):
-        import jax.numpy as jnp
-        from jax.experimental import pallas as pl
 
-        if sseg is None:
-            sseg = seg
-        variable = spec_key is not None
-        if variable:
-            first_free, max_code, reset_threshold = spec_key
-        else:
-            first_free, max_code, reset_threshold = ep.FIRST_FREE, 255, None
-        dyn_codes = ep.MAX_TABLE_SIZE - first_free
-
-        def step(j, carry):
-            prefix, nxt, err, err_code = carry
-            i = off + j
-            k = x_ref[0, j]
-            active = (i < lens) & (err == 0)
-            final = (i == lens) & (lens > 0) & (err == 0)
-            is_first = i == 0
-            if variable:
-                bad = active & jnp.logical_not(is_first) & (k > max_code)
-                err = jnp.where(bad, 1, err)
-                err_code = jnp.where(bad, k, err_code)
-                active = active & jnp.logical_not(bad)
-            key = prefix * 256 + k
-            tbase = (key << 12) + first_free
-            neg = jnp.full((sub, 128), -1, jnp.int32)
-
-            def scan_dense(s, acc):
-                rows = dense_ref[pl.ds(s * seg, seg)]
-                d = rows - tbase[None]
-                sel = jnp.where(d < dyn_codes, d, -1)  # negatives lose max
-                return jnp.maximum(acc, jnp.max(sel, axis=0))
-
-            matched_d = jax.lax.fori_loop(0, n_dense, scan_dense, neg)
-
-            def scan_stage(s, acc):
-                rows = stage_ref[pl.ds(s * sseg, sseg)]
-                d = rows - tbase[None]
-                sel = jnp.where(d < dyn_codes, d, -1)
-                return jnp.maximum(acc, jnp.max(sel, axis=0))
-
-            matched_d = jax.lax.fori_loop(
-                0, (j + sseg - 1) // sseg, scan_stage, matched_d
-            )
-            matched = matched_d + first_free
-            miss = active & (matched_d < 0) & jnp.logical_not(is_first)
-            hit = active & (matched_d >= 0) & jnp.logical_not(is_first)
-            out_ref[0, j] = jnp.where(miss | final, prefix, -1)
-            if variable:
-                ins = miss
-                stage_ref[j] = jnp.where(
-                    ins, (key << 12) | (nxt & 0xFFF), ep.HOLE
-                )
-                reset = ins & (nxt == reset_threshold)
-                nxt = jnp.where(
-                    reset, first_free, nxt + ins.astype(jnp.int32)
-                )
-
-                @pl.when(jnp.any(reset))
-                def _invalidate():
-                    dense_ref[:] = jnp.where(
-                        reset[None], ep.HOLE, dense_ref[:]
-                    )
-                    stage_ref[:] = jnp.where(
-                        reset[None], ep.HOLE, stage_ref[:]
-                    )
-            else:
-                ins = miss & (nxt < ep.MAX_TABLE_SIZE)
-                stage_ref[j] = jnp.where(ins, (key << 12) | nxt, ep.HOLE)
-                nxt = nxt + ins.astype(jnp.int32)
-            prefix = jnp.where(
-                active & is_first, k,
-                jnp.where(miss, k, jnp.where(hit, matched, prefix)),
-            )
-            return prefix, nxt, err, err_code
-
-        return step
-
-    ep._stage_step_fn = _patched
+def check_blocks(pay, ln, blocks, spec):
+    """Oracle spot-check on first / middle / last blocks (a corruption that
+    only shows up late in the batch or at group boundaries must fail)."""
+    n = blocks.shape[0]
+    for i in (0, n // 2, n - 1):
+        exp = oracle.encode_bytes(blocks[i].tobytes(), spec)
+        got = np.asarray(pay[i])[: int(np.asarray(ln[i]))].tobytes()
+        assert got == exp, f"wire mismatch at block {i}"
 
 
 def main():
@@ -134,9 +66,7 @@ def main():
     pay, ln = f(db, dl)
     np.asarray(ln[:4])
     tc = time.perf_counter() - t0
-    exp = oracle.encode_bytes(blocks[0].tobytes(), spec)
-    got = np.asarray(pay[0])[: int(np.asarray(ln[0]))].tobytes()
-    assert got == exp, "wire mismatch"
+    check_blocks(pay, ln, blocks, spec)
     best = float("inf")
     for rep in range(3):
         dv = db.at[0, 0].set((rep + 1) % 251)

@@ -54,9 +54,12 @@ def main():
         pay, ln = f(db, dl)
         np.asarray(ln[:4])
         tc = time.perf_counter() - t0
-        pay0, ln0 = np.asarray(pay[0]), int(np.asarray(ln[0]))
-        exp = oracle.encode_bytes(blocks[0].tobytes(), spec)
-        assert pay0[:ln0].tobytes() == exp, f"sseg={sseg} mismatch"
+        # Spot-check first / middle / last blocks against the oracle (a
+        # variant that corrupts later blocks or group boundaries must fail).
+        for i in (0, N // 2, N - 1):
+            exp = oracle.encode_bytes(blocks[i].tobytes(), spec)
+            got = np.asarray(pay[i])[: int(np.asarray(ln[i]))].tobytes()
+            assert got == exp, f"sseg={sseg} mismatch at block {i}"
         best = float("inf")
         for rep in range(3):
             dvar = db.at[0, 0].set((rep + 1) % 251)
