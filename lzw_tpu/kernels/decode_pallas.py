@@ -24,11 +24,17 @@ gather the VPU lacks, expressed as a sum-select) and is bounded each step by
 the min/max target row across the 1024 lanes, which tracks how far back the
 stream actually references instead of the table size.
 
-Packed entry: ``length<<20 | first<<12 | src`` (12+8+12 = 32 bits; length of
-a dynamic entry is >= 2 and <= 4092, src < block_size <= 4096).
+Packed entry, block_size <= 4096: ``length<<20 | first<<12 | src``
+(12+8+12 = 32 bits; length of a dynamic entry is >= 2 and <= 4092,
+src < block_size <= 4096).  Bigger blocks (the container's default 64 KiB
+variable block) don't fit one i32 — the table splits into two planes
+sharing one scan's hit mask: plane A ``length<<8 | first`` (20 bits),
+plane B ``src`` (< 2^17, blocks up to 128 KiB).
 
-Word descriptors (i32): ``kind<<30 | len<<13 | payload`` with kind 0 = copy
-(payload = src), kind 1 = literal (payload = byte), kind 2 = hole.
+Word descriptors (i32): ``kind<<29 | len<<17 | payload`` with kind 0 = copy
+(payload = src), kind 1 = literal (payload = byte), kind 2 = hole; len is
+at most 4092 (a dictionary word can't outgrow the 4096-entry table) and
+payload at most 2^17-1, so the descriptor covers 128 KiB blocks in 31 bits.
 
 Error contract: a code beyond the next free index sets the per-lane error
 flag with the offending code (`decoder.rs:599-601`); the fixed flavor has no
@@ -49,9 +55,10 @@ from lzw_tpu.spec import MAX_TABLE_SIZE
 
 __all__ = [
     "decode_pass1_fixed_tpu", "decode_pass1_variable_tpu",
-    "decode_pass2_device", "decode_variable_all_device", "unpack12",
+    "decode_pass2_device", "decode_variable_all_device",
+    "prepare_variable_decode", "decode_variable_device_run", "unpack12",
     "KIND_COPY", "KIND_LIT", "KIND_HOLE",
-    "GROUP", "GROUP_VAR",
+    "GROUP", "GROUP_VAR", "MAX_BLOCK", "NARROW_BLOCK",
 ]
 
 GROUP = 4096  # fixed-flavor blocks per kernel instance (32 sublanes x 128)
@@ -63,6 +70,9 @@ FIRST_FREE = 256
 KIND_COPY = 0
 KIND_LIT = 1
 KIND_HOLE = 2
+
+MAX_BLOCK = 1 << 17  # descriptor payload / wide-plane src field bound
+NARROW_BLOCK = 4096  # single-plane packed-entry bound (12-bit src)
 
 def unpack12(payloads, plens, little: bool):
     """XLA unpack: 3 bytes -> 2 twelve-bit codes (static reshape math).
@@ -87,24 +97,31 @@ def unpack12(payloads, plens, little: bool):
 
 def _make_kernel(seg: int, variable_spec=None, block_size: int = 4096,
                  ring: bool = False):
+    wide = block_size > NARROW_BLOCK
+
     def kernel(codes_ref, ncodes_ref, *rest):
         if variable_spec is None:
-            words_ref, pair_ref, stats_ref, tab_ref, state_ref = rest
             sched_ref = None
         else:
-            sched_ref = rest[0]
-            words_ref, pair_ref, stats_ref, tab_ref, state_ref = rest[1:]
+            sched_ref, rest = rest[0], rest[1:]
+        if wide:
+            (words_ref, pair_ref, stats_ref, tab_ref, tab2_ref,
+             state_ref) = rest
+        else:
+            words_ref, pair_ref, stats_ref, tab_ref, state_ref = rest
+            tab2_ref = None
         return _decode_kernel(
             codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref, stats_ref,
-            tab_ref, state_ref, seg, variable_spec, block_size, ring,
+            tab_ref, tab2_ref, state_ref, seg, variable_spec, block_size,
+            ring,
         )
 
     return kernel
 
 
 def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
-                   stats_ref, tab_ref, state_ref, SEG, variable_spec,
-                   block_size, ring):
+                   stats_ref, tab_ref, tab2_ref, state_ref, SEG,
+                   variable_spec, block_size, ring):
     """Grid: (groups, cells); the step-indexed table persists across cells.
 
     For variable flavors (strict schedule streams), ``sched_ref`` carries
@@ -118,6 +135,7 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
     cell = codes_ref.shape[1]
     TAB_H, sub = tab_ref.shape[:2]
     n_phys = TAB_H // SEG
+    wide = tab2_ref is not None
     variable = variable_spec is not None
     alphabet = variable_spec if variable else FIRST_FREE
     first_free = alphabet + 2 if variable else FIRST_FREE
@@ -125,6 +143,8 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
     @pl.when(c == 0)
     def _init():
         tab_ref[:] = jnp.zeros(tab_ref.shape, jnp.int32)
+        if wide:
+            tab2_ref[:] = jnp.zeros(tab2_ref.shape, jnp.int32)
         for r in range(7):
             state_ref[r] = jnp.zeros((sub, 128), jnp.int32)
         state_ref[3] = jnp.full((sub, 128), first_free, jnp.int32)  # next
@@ -176,18 +196,36 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
             s_hi = jnp.minimum(s_hi, s_lo + n_phys)
             target = target % TAB_H
 
-        def scan_tab(s, acc):
-            p = (s % n_phys) * SEG if ring else s * SEG
-            seg_rows = tab_ref[pl.ds(p, SEG)]
-            hit = (ROW0 + p) == target[None]
-            return acc + jnp.sum(jnp.where(hit, seg_rows, 0), axis=0)
+        zero = jnp.zeros((sub, 128), jnp.int32)
+        if wide:
+            # Two planes share one scan's hit mask: the second sum-select
+            # costs a load + select + add, not a second full sweep.
+            def scan_tab(s, accs):
+                a, b_ = accs
+                p = (s % n_phys) * SEG if ring else s * SEG
+                hit = (ROW0 + p) == target[None]
+                a = a + jnp.sum(jnp.where(hit, tab_ref[pl.ds(p, SEG)], 0),
+                                axis=0)
+                b_ = b_ + jnp.sum(jnp.where(hit, tab2_ref[pl.ds(p, SEG)], 0),
+                                  axis=0)
+                return a, b_
 
-        ent = jax.lax.fori_loop(
-            s_lo, s_hi, scan_tab, jnp.zeros((sub, 128), jnp.int32)
-        )
-        len_c = (ent >> 20) & 0xFFF
-        first_c = (ent >> 12) & 0xFF
-        src_d = ent & 0xFFF
+            ent, src_d = jax.lax.fori_loop(
+                s_lo, s_hi, scan_tab, (zero, zero)
+            )
+            len_c = (ent >> 8) & 0xFFF
+            first_c = ent & 0xFF
+        else:
+            def scan_tab(s, acc):
+                p = (s % n_phys) * SEG if ring else s * SEG
+                seg_rows = tab_ref[pl.ds(p, SEG)]
+                hit = (ROW0 + p) == target[None]
+                return acc + jnp.sum(jnp.where(hit, seg_rows, 0), axis=0)
+
+            ent = jax.lax.fori_loop(s_lo, s_hi, scan_tab, zero)
+            len_c = (ent >> 20) & 0xFFF
+            first_c = (ent >> 12) & 0xFF
+            src_d = ent & 0xFFF
 
         length = jnp.where(
             is_lit, 1, jnp.where(kwkwk, prev_len + 1, len_c)
@@ -212,27 +250,41 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
             ok, jnp.where(is_lit, KIND_LIT, KIND_COPY), KIND_HOLE
         )
         payload = jnp.where(is_lit, lit_byte, src)
-        words_ref[0, j] = (kind << 30) | (length << 13) | payload
+        words_ref[0, j] = (kind << 29) | (length << 17) | payload
 
         # Insert entry (prev word + current first char) at the step row.
         ins = ok & jnp.logical_not(first_step) & (nxt < MAX_TABLE_SIZE)
-        entry = jnp.where(
-            ins,
-            (((prev_len + 1) & 0xFFF) << 20)
-            | ((prev_first & 0xFF) << 12)
-            | ((off - prev_len) & 0xFFF),
-            0,
-        )
+        if wide:
+            entry = jnp.where(
+                ins,
+                (((prev_len + 1) & 0xFFF) << 8) | (prev_first & 0xFF),
+                0,
+            )
+            entry2 = jnp.where(ins, off - prev_len, 0)
+        else:
+            entry = jnp.where(
+                ins,
+                (((prev_len + 1) & 0xFFF) << 20)
+                | ((prev_first & 0xFF) << 12)
+                | ((off - prev_len) & 0xFFF),
+                0,
+            )
         if ring:
             tab_ref[t % TAB_H] = entry
+            if wide:
+                tab2_ref[t % TAB_H] = entry2
         elif variable:
             tab_ref[t] = entry
+            if wide:
+                tab2_ref[t] = entry2
         else:
             # Fixed tables freeze at 4096 entries (last insert at step
             # 3840); later rows are never read, so the table is capped.
             @pl.when(t < TAB_H)
             def _store():
                 tab_ref[t] = entry
+                if wide:
+                    tab2_ref[t] = entry2
         # Chain-walk table for the device pass 2: code | prefix | suffix.
         pair_ref[0, j] = jnp.where(
             ins, (nxt << 20) | (prev_code << 8) | first, 0
@@ -280,7 +332,8 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
     """
     N, PB = payloads.shape
     assert N % group == 0 and group % 128 == 0
-    assert block_size <= 4096  # packed 12-bit src field
+    assert block_size <= MAX_BLOCK
+    wide = block_size > NARROW_BLOCK
     sub = group // 128
     G = N // group
 
@@ -311,14 +364,14 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
             jax.ShapeDtypeStruct((G, S, sub, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM(
+        scratch_shapes=(
+            [pltpu.VMEM(
                 (min((S + seg - 1) // seg, (3840 + seg) // seg) * seg,
                  sub, 128),
                 jnp.int32,
-            ),
-            pltpu.VMEM((7, sub, 128), jnp.int32),
-        ],
+            )] * (2 if wide else 1)
+            + [pltpu.VMEM((7, sub, 128), jnp.int32)]
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -358,6 +411,7 @@ def _variable_pass1(codes, n_codes, sched, spec, block_size, interpret,
     N, S = codes.shape
     sub = group // 128
     G = N // group
+    wide = block_size > NARROW_BLOCK
     x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
     nc = n_codes.reshape(G, 1, sub, 128)
     tab_h = min(((S + seg - 1) // seg) * seg, 4096)
@@ -380,10 +434,10 @@ def _variable_pass1(codes, n_codes, sched, spec, block_size, interpret,
             jax.ShapeDtypeStruct((G, S, sub, 128), jnp.int32),
             jax.ShapeDtypeStruct((G, 8, sub, 128), jnp.int32),
         ],
-        scratch_shapes=[
-            pltpu.VMEM((tab_h, sub, 128), jnp.int32),
-            pltpu.VMEM((7, sub, 128), jnp.int32),
-        ],
+        scratch_shapes=(
+            [pltpu.VMEM((tab_h, sub, 128), jnp.int32)] * (2 if wide else 1)
+            + [pltpu.VMEM((7, sub, 128), jnp.int32)]
+        ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
@@ -394,6 +448,35 @@ def _variable_pass1(codes, n_codes, sched, spec, block_size, interpret,
     return words, stats, pair
 
 
+def prepare_variable_decode(payloads_np, plens_np, spec, cell: int = CELL):
+    """Host half of the strict variable decode: per-stream code-count
+    recovery + frame-level strictness (a handful of byte reads per stream)
+    and the static per-step schedule scalars.  In production this is the
+    only host work in the decode path; everything downstream
+    (:func:`decode_variable_device_run`) is one jitted device computation.
+
+    Returns (counts i32[N], strict bool[N], sched_arr i32[2, S], S).
+    """
+    from lzw_tpu.kernels import schedule as _sched_mod
+
+    import numpy as np
+
+    N = payloads_np.shape[0]
+    counts, strict, S_raw = _sched_mod.recover_counts(
+        np.asarray(payloads_np), np.asarray(plens_np, dtype=np.int64), spec
+    )
+    # Size the dense code matrix by the batch's actual longest stream, not
+    # the worst-case bound (at 64 KiB blocks the bound is ~2x the need).
+    S_need = min(S_raw, max(int(counts.max()) if N else 1, 1))
+    S = max(((S_need + cell - 1) // cell) * cell, cell)
+    sched = _sched_mod.emission_schedule(spec, S)
+    # Per-step scalars: decoder-side next index and epoch start ordinal.
+    sched_arr = np.zeros((2, S), np.int32)
+    sched_arr[0, :] = (sched.nxt_of[:S] - 1).astype(np.int32)
+    sched_arr[1, :] = sched.epoch_start[:S].astype(np.int32)
+    return counts, strict, sched_arr, S
+
+
 def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
                               interpret: bool = False,
                               group: int = GROUP_VAR,
@@ -401,36 +484,25 @@ def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
     """Variable-flavor strict-stream pass 1: payloads -> copy descriptors.
 
     Strict streams (everything salzweg or this framework emits) follow the
-    static emission schedule, so the bit stream is unpacked host-side
-    (`schedule.unpack_variable`) and the kernel consumes aligned data codes
-    with per-step schedule scalars.  Returns an extra ``strict`` bool mask;
-    non-strict streams must go through a fallback decoder.
+    static emission schedule, so stream lengths are recovered host-side
+    (`prepare_variable_decode`) and the kernel consumes device-unpacked
+    aligned data codes with per-step schedule scalars.  Returns an extra
+    ``strict`` bool mask; non-strict streams must go through a fallback
+    decoder.
 
     Returns (words, n_codes, total, err, err_code, strict).
     """
-    from lzw_tpu.kernels import schedule as _sched_mod
-
     import numpy as np
 
     N, PB = payloads.shape
+    if block_size > NARROW_BLOCK and group > 1024:
+        group = 1024  # two ring planes: keep the VMEM tables under budget
     assert N % group == 0 and group % 128 == 0
-    assert block_size <= 4096  # packed 12-bit src field
+    assert block_size <= MAX_BLOCK
     assert 4096 % seg == 0  # ring table segments
-    payloads_np = np.asarray(payloads)
-    plens_np = np.asarray(plens, dtype=np.int64)
-    # Host: recover per-stream code counts + frame-level strictness (a few
-    # byte reads per stream).  Device: unpack + decode (payload bytes are
-    # the only upload).
-    counts, strict, S_raw = _sched_mod.recover_counts(
-        payloads_np, plens_np, spec
+    counts, strict, sched_arr, S = prepare_variable_decode(
+        payloads, plens, spec, cell
     )
-    S = max(((S_raw + cell - 1) // cell) * cell, cell)
-    sched = _sched_mod.emission_schedule(spec, S)
-    # Per-step scalars: decoder-side next index and epoch start ordinal.
-    sched_arr = np.zeros((2, S), np.int32)
-    sched_arr[0, :] = (sched.nxt_of[:S] - 1).astype(np.int32)
-    sched_arr[1, :] = sched.epoch_start[:S].astype(np.int32)
-
     words, stats, pair, dense, data_ok = _variable_pass1_from_payloads(
         jnp.asarray(payloads), jnp.asarray(counts.astype(np.int32)),
         jnp.asarray(sched_arr), spec, S, block_size, interpret, group, cell,
@@ -439,6 +511,46 @@ def decode_pass1_variable_tpu(payloads, plens, spec, block_size: int,
     strict = strict & np.asarray(data_ok)
     return (words, counts, stats[:, 0], stats[:, 1], stats[:, 2], strict,
             (pair, dense, sched_arr))
+
+
+def decode_variable_device_run(payloads, counts, sched_arr, spec, S: int,
+                               block_size: int, interpret: bool = False,
+                               group: int = GROUP_VAR, cell: int = CELL,
+                               seg: int = 128, group2: int = 2048,
+                               seg2: int = 256):
+    """Device half of the strict variable decode (jit-friendly): unpack +
+    pass 1 + chain-walk pass 2, all on the chip.  ``counts``/``sched_arr``/
+    ``S`` come from :func:`prepare_variable_decode`.
+
+    Returns (blocks u8[N, block_size], totals, errs, err_codes, data_ok).
+    """
+    import numpy as np
+
+    N = payloads.shape[0]
+    if block_size > NARROW_BLOCK and group > 1024:
+        group = 1024  # two ring planes: keep the VMEM tables under budget
+    words, stats, pair, dense, data_ok = _variable_pass1_from_payloads(
+        jnp.asarray(payloads), jnp.asarray(np.asarray(counts, np.int32)),
+        jnp.asarray(sched_arr), spec, S, block_size, interpret, group, cell,
+        seg,
+    )
+    totals, errs, err_codes = stats[:, 0], stats[:, 1], stats[:, 2]
+    # Pass 2 holds the whole codes+pair tables per lane in VMEM; at big
+    # block sizes (S in the tens of thousands) shrink the instance so the
+    # two S x sub x 128 x 4B tables stay under ~60 MiB.
+    budget = 60 << 20
+    sub_max = max(1, budget // (S * 128 * 4 * 2))
+    group2 = min(group2, sub_max * 128)
+    while N % group2:
+        group2 //= 2
+    epochs = jnp.asarray(np.asarray(sched_arr)[1, :S].astype(np.int32))
+    codes_aug = dense | (epochs[None, :] << 12)
+    out = decode_pass2_device(
+        codes_aug, pair, jnp.asarray(np.asarray(counts, np.int32)), totals,
+        block_size, alphabet=spec.alphabet_size, interpret=interpret,
+        group=group2, cell=cell, seg=seg2, variable=True,
+    )
+    return out, totals, errs, err_codes, data_ok
 
 
 def decode_variable_all_device(payloads, plens, spec, block_size: int,
@@ -456,19 +568,15 @@ def decode_variable_all_device(payloads, plens, spec, block_size: int,
     """
     import numpy as np
 
-    words, counts, totals, errs, err_codes, strict, (pair, dense, sched_arr) \
-        = decode_pass1_variable_tpu(
-            payloads, plens, spec, block_size, interpret=interpret,
-            group=group, cell=cell, seg=seg,
-        )
-    S = dense.shape[1]
-    epochs = jnp.asarray(sched_arr[1, :S].astype(np.int32))
-    codes_aug = dense | (epochs[None, :] << 12)
-    out = decode_pass2_device(
-        codes_aug, pair, jnp.asarray(counts.astype(np.int32)), totals,
-        block_size, alphabet=spec.alphabet_size, interpret=interpret,
-        group=group2, cell=cell, seg=seg2, variable=True,
+    counts, strict, sched_arr, S = prepare_variable_decode(
+        payloads, plens, spec, cell
     )
+    out, totals, errs, err_codes, data_ok = decode_variable_device_run(
+        payloads, counts, sched_arr, spec, S, block_size,
+        interpret=interpret, group=group, cell=cell, seg=seg, group2=group2,
+        seg2=seg2,
+    )
+    strict = strict & np.asarray(data_ok)
     return out, totals, errs, err_codes, strict
 
 

@@ -347,7 +347,8 @@ def recover_counts(payloads, plens, spec: LzwSpec):
     sched = emission_schedule(spec, S)
     little = spec.endianness.value == "little"
 
-    padded = np.zeros((N, PB + 4), np.int64)
+    # int32 suffices: reads combine <= 3 bytes (< 2^24) before shifting.
+    padded = np.zeros((N, PB + 4), np.int32)
     padded[:, :PB] = payloads
 
     def read_cols(bit_offs, widths):

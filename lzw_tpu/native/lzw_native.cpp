@@ -425,8 +425,9 @@ int lzw_decode_blocks(const uint8_t* comp, const uint32_t* comp_offsets,
 }
 
 // Resolve a decode copy list produced by the TPU pass-1 kernel
-// (lzw_tpu/kernels/decode_pallas.py).  Descriptors: kind<<30 | len<<13 |
-// payload, kind 0 = copy-from-src, 1 = literal byte, 2 = hole.  Copies may
+// (lzw_tpu/kernels/decode_pallas.py).  Descriptors: kind<<29 | len<<17 |
+// payload (len <= 4092, payload < 2^17 so blocks up to 128 KiB fit),
+// kind 0 = copy-from-src, 1 = literal byte, 2 = hole.  Copies may
 // overlap their destination by design (KwKwK words); the forward byte loop
 // realises the LZ77 semantics exactly.  On a corrupt list, *err_word holds
 // the failing descriptor index so the caller can map it back to the wire
@@ -436,10 +437,10 @@ int lzw_apply_words(const int32_t* words, size_t n_words, uint8_t* out,
   size_t pos = 0;
   for (size_t i = 0; i < n_words; ++i) {
     const uint32_t w = static_cast<uint32_t>(words[i]);
-    const uint32_t kind = w >> 30;
+    const uint32_t kind = w >> 29;
     if (kind == 2) continue;
-    const size_t len = (w >> 13) & 0xFFF;
-    const uint32_t payload = w & 0x1FFF;
+    const size_t len = (w >> 17) & 0xFFF;
+    const uint32_t payload = w & 0x1FFFF;
     if (pos + len > out_cap) {
       *err_word = i;
       return kErrBufTooSmall;

@@ -117,10 +117,13 @@ class BlockParallelCodec:
         self._on_tpu = use_pallas
         # The encode kernels serve any block size that is a whole number of
         # streaming cells (single-launch at <= 4 KiB, the chunked driver
-        # beyond); the device decode kernels additionally need block offsets
-        # to fit their packed 12-bit src fields (<= 4 KiB).
+        # beyond); the device decode kernels cover offsets up to the 17-bit
+        # descriptor payload (128 KiB — two-plane tables past 4 KiB, so the
+        # default 64 KiB variable container decodes on the chip too).
+        from lzw_tpu.kernels.decode_pallas import MAX_BLOCK as _DEC_MAX
+
         self.use_pallas = use_pallas and block_size % _CELL == 0
-        self._pallas_decode_ok = self.use_pallas and block_size <= 4096
+        self._pallas_decode_ok = self.use_pallas and block_size <= _DEC_MAX
 
         ax = self.axis
 

@@ -30,10 +30,9 @@ ASSETS = pathlib.Path(__file__).resolve().parent.parent / "test-assets"
 
 DROP_GE = len(sys.argv) > 2 and sys.argv[2] == "drop"
 
-if DROP_GE:
-    ep._stage_step_fn = functools.partial(
-        ep._stage_step_fn, range_test="drop_ge"
-    )
+ep._stage_step_fn = functools.partial(
+    ep._stage_step_fn, range_test="drop_ge" if DROP_GE else "full"
+)
 
 
 def check_blocks(pay, ln, blocks, spec):

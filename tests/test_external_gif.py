@@ -22,6 +22,7 @@ import pytest
 from PIL import Image
 
 from lzw_tpu.api import GifCodec
+from lzw_tpu.utils.gifwrap import wrap_gif, unwrap_gif as _unwrap_gif
 
 BACKENDS = ["oracle", "jax", "native"]
 
@@ -31,64 +32,14 @@ BACKENDS = ["oracle", "jax", "native"]
 # --------------------------------------------------------------------------- #
 
 
-def wrap_gif(lzw_stream: bytes, width: int, height: int,
-             code_size: int) -> bytes:
-    """Wrap a raw GIF-flavor LZW stream in a one-frame GIF89a file."""
-    n_colors = 1 << max(code_size, 1)
-    gct_k = max(code_size, 1) - 1  # GCT holds 2^(k+1) entries
-    out = bytearray()
-    out += b"GIF89a"
-    out += struct.pack("<HH", width, height)
-    out += bytes([0x80 | (7 << 4) | gct_k, 0, 0])  # GCT present, 8-bit res
-    for i in range(n_colors):  # identity-ish grayscale palette
-        v = (i * 255) // max(n_colors - 1, 1)
-        out += bytes([v, v, v])
-    out += b"\x2c" + struct.pack("<HHHH", 0, 0, width, height) + b"\x00"
-    out += bytes([code_size])
-    for off in range(0, len(lzw_stream), 255):
-        chunk = lzw_stream[off : off + 255]
-        out += bytes([len(chunk)]) + chunk
-    out += b"\x00\x3b"
-    return bytes(out)
+def unwrap_gif(gif: bytes):
+    """Package helper + Pillow's own decode of the same file (the external
+    reading the differential tests compare against)."""
+    stream, code_size, (w, h) = _unwrap_gif(gif)
+    pixels = np.asarray(Image.open(io.BytesIO(gif)).convert("P"))
+    return stream, code_size, pixels.reshape(h, w)
 
 
-def unwrap_gif(gif: bytes) -> tuple[bytes, int, np.ndarray]:
-    """Extract (lzw_stream, min_code_size, decoded_pixels) from a GIF file."""
-    assert gif[:6] in (b"GIF87a", b"GIF89a")
-    width, height, flags = struct.unpack_from("<HHB", gif, 6)
-    pos = 13
-    if flags & 0x80:
-        pos += 3 * (2 << (flags & 7))
-    while True:
-        block = gif[pos]
-        pos += 1
-        if block == 0x21:  # extension: label + sub-blocks
-            pos += 1
-            while gif[pos]:
-                pos += 1 + gif[pos]
-            pos += 1
-        elif block == 0x2C:
-            _, _, w, h, iflags = struct.unpack_from("<HHHHB", gif, pos)
-            pos += 9
-            if iflags & 0x80:
-                pos += 3 * (2 << (iflags & 7))
-            code_size = gif[pos]
-            pos += 1
-            stream = bytearray()
-            while gif[pos]:
-                n = gif[pos]
-                stream += gif[pos + 1 : pos + 1 + n]
-                pos += 1 + n
-            pixels = np.asarray(Image.open(io.BytesIO(gif)).convert("P"))
-            return bytes(stream), code_size, pixels.reshape(h, w)
-        elif block == 0x3B:
-            raise AssertionError("no image block found")
-        else:
-            raise AssertionError(f"unexpected GIF block 0x{block:02x}")
-
-
-# --------------------------------------------------------------------------- #
-# Direction 1: we encode, Pillow decodes                                      #
 # --------------------------------------------------------------------------- #
 
 
