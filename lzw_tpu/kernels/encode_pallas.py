@@ -241,7 +241,8 @@ def _clamp_sseg(sseg: int | None, cell: int) -> int | None:
 
 
 def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
-                   seg, sub, spec_key, sseg=None, range_test="drop_ge"):
+                   seg, sub, spec_key, sseg=None, range_test="drop_ge",
+                   n_base=None, row_iota=None):
     """The staged-append parse step, shared by the single-launch and chunked
     kernels.  ``off`` is the global stream index of this cell's step 0 (a
     traced scalar: ``c*cell`` single-launch, ``chunk0 + c*cell`` chunked).
@@ -254,7 +255,16 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
     [0, dyn) since entry codes occupy exactly the low-12-bit range
     [first_free, 4096)) or "full" (the two-compare range test) — so A/B
     scripts measure the one shared implementation instead of a drifting
-    copy.  Chip A/B r3: drop_ge 155.6 vs full 148.9 MiB/s on fixed 4 KiB."""
+    copy.  Chip A/B r3: drop_ge 155.6 vs full 148.9 MiB/s on fixed 4 KiB.
+
+    ``n_base`` (chunked kernels only, with ``row_iota`` = a hoisted
+    (seg, sub, 128) row iota): number of leading *code-indexed* dense
+    segments.  The between-launch recompaction leaves each lane's live
+    entries at row = code - first_free (codes are assigned sequentially,
+    `encoder.rs:120-143`; the compaction is stable; CLEAR resets wipe whole
+    columns), so rows [0, n_base*seg) store the bare 20-bit key (hole -1)
+    and match with a 3-op equality scan whose matched ROW is the code —
+    25% fewer VPU ops than the 4-op range test on the dominant scan."""
     if sseg is None:
         sseg = seg
     assert range_test in ("full", "drop_ge")
@@ -265,6 +275,10 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
     else:
         first_free, max_code, reset_threshold = FIRST_FREE, 255, None
     dyn_codes = MAX_TABLE_SIZE - first_free
+    # Steps past every lane's end (the final-prefix pad cell) skip all scans:
+    # no lane can consume a byte at i >= lens_max, so no lookup is needed and
+    # no insert can fire.  At 4 KiB blocks the pad cell is 1/9 of all steps.
+    lens_max = jnp.max(lens)
 
     def step(j, carry):
         prefix, nxt, err, err_code = carry
@@ -292,12 +306,32 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
                 return jnp.where((d >= 0) & (d < dyn_codes), d, -1)
             return jnp.where(d < dyn_codes, d, -1)  # negatives lose the max
 
+        # Scan bounds collapse to zero on pad steps (see lens_max above).
+        live = j + off < lens_max
+
+        if n_base is None:
+            base_segs = 0
+            matched_d = neg
+        else:
+            base_segs = jnp.where(live, n_base, 0)
+
+            def scan_base(s, acc):
+                rows = dense_ref[pl.ds(s * seg, seg)]
+                lm = jnp.max(
+                    jnp.where(rows == key[None], row_iota, -1), axis=0
+                )
+                return jnp.where(lm >= 0, lm + s * seg, acc)
+
+            matched_d = jax.lax.fori_loop(0, base_segs, scan_base, neg)
+
         def scan_dense(s, acc):
             rows = dense_ref[pl.ds(s * seg, seg)]
             sel = match(rows - tbase[None])
             return jnp.maximum(acc, jnp.max(sel, axis=0))
 
-        matched_d = jax.lax.fori_loop(0, n_dense, scan_dense, neg)
+        matched_d = jax.lax.fori_loop(
+            base_segs, jnp.where(live, n_dense, 0), scan_dense, matched_d
+        )
 
         def scan_stage(s, acc):
             rows = stage_ref[pl.ds(s * sseg, sseg)]
@@ -305,7 +339,8 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
             return jnp.maximum(acc, jnp.max(sel, axis=0))
 
         matched_d = jax.lax.fori_loop(
-            0, (j + sseg - 1) // sseg, scan_stage, matched_d
+            0, jnp.where(live, (j + sseg - 1) // sseg, 0), scan_stage,
+            matched_d,
         )
 
         matched = matched_d + first_free
@@ -326,9 +361,23 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
 
             @pl.when(jnp.any(reset))
             def _invalidate():
-                dense_ref[:] = jnp.where(
-                    reset[None], HOLE, dense_ref[:]
-                )
+                if n_base is None:
+                    dense_ref[:] = jnp.where(
+                        reset[None], HOLE, dense_ref[:]
+                    )
+                else:
+                    # Two hole encodings: code-indexed segments wipe to -1,
+                    # packed append segments to 0 (see the format note in
+                    # the docstring).  Rare: at most once per block per lane.
+                    def wipe(s, _):
+                        fill = jnp.where(s < n_base, -1, HOLE)
+                        rows = dense_ref[pl.ds(s * seg, seg)]
+                        dense_ref[pl.ds(s * seg, seg)] = jnp.where(
+                            reset[None], fill, rows
+                        )
+                        return 0
+
+                    jax.lax.fori_loop(0, n_dense, wipe, 0)
                 stage_ref[:] = jnp.where(
                     reset[None], HOLE, stage_ref[:]
                 )
@@ -381,6 +430,12 @@ def _make_kernel_chunk(seg: int, spec_key=None, sseg: int | None = None):
         # The dense table stays in HBM as kernel I/O (it is scan-carried
         # state at the JAX level); one VMEM scratch window serves both
         # directions so the lane count isn't halved by double windows.
+        # cur_in is the exact max-lane live count after the between-launch
+        # recompaction; rows [0, cur_in) are code-indexed bare keys (padded
+        # with -1 holes to the seg-aligned append base), appends land past
+        # the aligned base in packed key<<12|code form.
+        n_base = (cur_in_ref[0, 0] + seg - 1) // seg
+
         @pl.when(c == 0)
         def _init():
             dma = pltpu.make_async_copy(
@@ -389,16 +444,17 @@ def _make_kernel_chunk(seg: int, spec_key=None, sseg: int | None = None):
             dma.start()
             dma.wait()
             state_out_ref[0] = state_in_ref[0]
-            cur_ref[0] = cur_in_ref[0, 0]
+            cur_ref[0] = n_base * seg
 
         stage_ref[:] = jnp.full(stage_ref.shape, HOLE, jnp.int32)
         lens = len_ref[0, 0]
         off = chunk0_ref[0] + c * cell
         n_dense = (cur_ref[0] + seg - 1) // seg
+        row_iota = jax.lax.broadcasted_iota(jnp.int32, (seg, sub, 128), 0)
 
         step = _stage_step_fn(
             x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense, seg,
-            sub, spec_key, sseg,
+            sub, spec_key, sseg, n_base=n_base, row_iota=row_iota,
         )
         carry = tuple(state_out_ref[0, r] for r in range(4))
         carry = jax.lax.fori_loop(0, cell, step, carry)
@@ -876,6 +932,9 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
     assert chunk % cell == 0 and cell % min(seg, cell) == 0
     assert N % group == 0 and group % 128 == 0
     seg = min(seg, cell)
+    # The aligned eq-region base must stay within the table and on segment
+    # boundaries for every reachable cursor (cursor <= MAX_TABLE_SIZE).
+    assert MAX_TABLE_SIZE % seg == 0
     sub = group // 128
     G = N // group
     slots = B + cell  # the final-prefix emission lands one step past lens
@@ -939,14 +998,30 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
         interpret=interpret,
     )
 
+    rowix = jnp.arange(R, dtype=jnp.int32)[None, :, None, None]
+
     def body(carry, xc):
         dense, state, cur = carry
         xi, off = xc
         codes_c, errs_c, dense2, state2 = call(xi, l, off, dense, state, cur)
+        # dense2 is format-split (see _stage_step_fn): rows below the
+        # seg-aligned append base hold bare keys (hole -1), rows above hold
+        # packed key<<12|code appends (hole 0).  Convert everything to bare
+        # keys, re-compact (stable per lane, so row = code - first_free
+        # again), and re-establish the two hole encodings around the new
+        # aligned base for the next launch.
+        base = (((cur + seg - 1) // seg) * seg)[:, :, None, None]
+        in_base = rowix < base
+        valid = jnp.where(in_base, dense2 >= 0, dense2 != HOLE)
+        keys = jnp.where(
+            in_base, dense2, jax.lax.shift_right_logical(dense2, 12)
+        )
         dense3, cnts = jax.vmap(
-            lambda v: compact_columns_jax(v, v != HOLE, fill=HOLE)
-        )(dense2)
+            lambda v, m: compact_columns_jax(v, m, fill=-1)
+        )(keys, valid)
         cur2 = jnp.max(cnts.reshape(G, -1), axis=1).astype(jnp.int32)[:, None]
+        base2 = (((cur2 + seg - 1) // seg) * seg)[:, :, None, None]
+        dense3 = jnp.where(rowix < base2, dense3, HOLE)
         return (dense3, state2, cur2), (codes_c, errs_c)
 
     (_, _, _), (codes_all, errs_all) = jax.lax.scan(
@@ -964,13 +1039,14 @@ def group_for(block_size: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "little", "interpret", "group", "cell",
-                     "seg", "compact", "chunk", "sseg"),
+                     "seg", "compact", "chunk", "sseg", "chunked"),
 )
 def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
                             little: bool = True, interpret: bool = False,
                             group: int | None = None, cell: int = CELL,
                             seg: int = SEG, compact: bool = False,
-                            chunk: int = CHUNK, sseg: int | None = SSEG):
+                            chunk: int = CHUNK, sseg: int | None = SSEG,
+                            chunked: bool | None = None):
     """Fixed-12-bit block-parallel encode on TPU.
 
     Args:
@@ -985,7 +1061,9 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
     """
     if group is None:
         group = group_for(block_size)
-    if block_size > BLOCK_SIZE:
+    if chunked is None:
+        chunked = block_size > BLOCK_SIZE
+    if chunked:
         dense, counts, _, _ = _run_encode_kernel_chunked(
             blocks, lens, block_size, None, interpret, group, cell, seg,
             chunk, sseg,
@@ -1002,7 +1080,7 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "block_size", "interpret", "group", "cell",
-                     "seg", "compact", "chunk", "sseg"),
+                     "seg", "compact", "chunk", "sseg", "chunked"),
 )
 def encode_blocks_variable_codes_tpu(blocks, lens, spec,
                                      block_size: int = BLOCK_SIZE,
@@ -1011,7 +1089,8 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
                                      cell: int = CELL,
                                      seg: int = SEG, compact: bool = False,
                                      chunk: int = CHUNK,
-                                     sseg: int | None = SSEG):
+                                     sseg: int | None = SSEG,
+                                     chunked: bool | None = None):
     """Variable-flavor block encode on TPU: dense data codes per block.
 
     The wire layout of a variable stream is a static function of the
@@ -1029,7 +1108,9 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
     )
     if group is None:
         group = group_for(block_size)
-    if block_size > BLOCK_SIZE:
+    if chunked is None:
+        chunked = block_size > BLOCK_SIZE
+    if chunked:
         return _run_encode_kernel_chunked(
             blocks, lens, block_size, spec_key, interpret, group, cell, seg,
             chunk, sseg,
