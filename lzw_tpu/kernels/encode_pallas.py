@@ -241,7 +241,7 @@ def _clamp_sseg(sseg: int | None, cell: int) -> int | None:
 
 
 def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
-                   seg, sub, spec_key, sseg=None, range_test="drop_ge",
+                   seg, sub, spec_key, sseg=None, range_test="maxval",
                    n_base=None, row_iota=None):
     """The staged-append parse step, shared by the single-launch and chunked
     kernels.  ``off`` is the global stream index of this cell's step 0 (a
@@ -249,13 +249,25 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
     ``sseg`` is the stage-scan segment size (defaults to ``seg``): only rows
     [0, j) of the stage are live at step j, so a smaller segment bounds the
     stage sweep by the step index instead of the whole buffer.
-    ``range_test`` selects the scan's match-test form — "drop_ge" (single
-    compare, the default: d >= 0 is redundant because negative deltas lose
-    the running max against -1, and int32 wrap cannot land a foreign key in
-    [0, dyn) since entry codes occupy exactly the low-12-bit range
-    [first_free, 4096)) or "full" (the two-compare range test) — so A/B
-    scripts measure the one shared implementation instead of a drifting
-    copy.  Chip A/B r3: drop_ge 155.6 vs full 148.9 MiB/s on fixed 4 KiB.
+    ``range_test`` selects the scan's match-test form, so A/B scripts
+    measure the one shared implementation instead of a drifting copy:
+
+    * "maxval" (default, 3 ops/row): live keys are unique per lane, so the
+      match is simply the MAXIMUM table value strictly below
+      ``tlimit = tbase + dyn`` — per row just cmp + select(INT_MIN) + max;
+      the range validation ``0 <= m - tbase < dyn`` runs once per step on
+      the (sub, 128) accumulator instead of per row.  Safety: append holes
+      (0) give ``d = -tbase`` which can never land in [0, dyn) because
+      key<<12 is a multiple of 4096 and codes sit in [first_free, 4096);
+      the INT_MIN sentinel wraps to ``d = dyn`` exactly at the extreme
+      tbase = 0x7FFFF000 + first_free — excluded by the strict upper bound;
+      foreign keys differ by a multiple of 4096 mod 2^32, outside (-dyn,
+      dyn) \\ {0}.  Chip A/B r3 (fixed 4 KiB, 32 MiB, same day/chip):
+      maxval 237.1 vs drop_ge 196.5 MiB/s (+21%).
+    * "drop_ge" (4 ops/row): per-row range test with the d >= 0 compare
+      dropped (negative deltas lose the running max against -1).  Chip A/B
+      r3 (pre-pad-skip): drop_ge 155.6 vs full 148.9 MiB/s on fixed 4 KiB.
+    * "full" (5 ops/row): the two-compare range test.
 
     ``n_base`` (chunked kernels only, with ``row_iota`` = a hoisted
     (seg, sub, 128) row iota): number of leading *code-indexed* dense
@@ -267,8 +279,10 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
     25% fewer VPU ops than the 4-op range test on the dominant scan."""
     if sseg is None:
         sseg = seg
-    assert range_test in ("full", "drop_ge")
+    assert range_test in ("full", "drop_ge", "maxval")
     full_test = range_test == "full"
+    maxval = range_test == "maxval"
+    int_min = jnp.int32(-(2**31))
     variable = spec_key is not None
     if variable:
         first_free, max_code, reset_threshold = spec_key
@@ -298,20 +312,33 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
         tbase = (key << 12) + first_free
         neg = jnp.full((sub, 128), -1, jnp.int32)
 
-        def match(d):
-            # NOTE: a single unsigned compare (u32(d) < dyn) measures 9%
-            # SLOWER on chip than this two-compare form — Mosaic fuses the
-            # signed range test; don't "optimize" it.
-            if full_test:
-                return jnp.where((d >= 0) & (d < dyn_codes), d, -1)
-            return jnp.where(d < dyn_codes, d, -1)  # negatives lose the max
+        if maxval:
+            tlimit = tbase + dyn_codes
+
+            def match_acc(rows, acc):
+                cand = jnp.where(rows < tlimit[None], rows, int_min)
+                return jnp.maximum(acc, jnp.max(cand, axis=0))
+        else:
+
+            def match(d):
+                # NOTE: a single unsigned compare (u32(d) < dyn) measures 9%
+                # SLOWER on chip than this two-compare form — Mosaic fuses
+                # the signed range test; don't "optimize" it.
+                if full_test:
+                    return jnp.where((d >= 0) & (d < dyn_codes), d, -1)
+                # negatives lose the max
+                return jnp.where(d < dyn_codes, d, -1)
+
+            def match_acc(rows, acc):
+                return jnp.maximum(acc, jnp.max(match(rows - tbase[None]),
+                                                axis=0))
 
         # Scan bounds collapse to zero on pad steps (see lens_max above).
         live = j + off < lens_max
 
         if n_base is None:
             base_segs = 0
-            matched_d = neg
+            row_d = neg
         else:
             base_segs = jnp.where(live, n_base, 0)
 
@@ -322,26 +349,29 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
                 )
                 return jnp.where(lm >= 0, lm + s * seg, acc)
 
-            matched_d = jax.lax.fori_loop(0, base_segs, scan_base, neg)
+            row_d = jax.lax.fori_loop(0, base_segs, scan_base, neg)
+
+        acc0 = jnp.full((sub, 128), int_min, jnp.int32) if maxval else neg
 
         def scan_dense(s, acc):
-            rows = dense_ref[pl.ds(s * seg, seg)]
-            sel = match(rows - tbase[None])
-            return jnp.maximum(acc, jnp.max(sel, axis=0))
+            return match_acc(dense_ref[pl.ds(s * seg, seg)], acc)
 
-        matched_d = jax.lax.fori_loop(
-            base_segs, jnp.where(live, n_dense, 0), scan_dense, matched_d
+        acc = jax.lax.fori_loop(
+            base_segs, jnp.where(live, n_dense, 0), scan_dense, acc0
         )
 
         def scan_stage(s, acc):
-            rows = stage_ref[pl.ds(s * sseg, sseg)]
-            sel = match(rows - tbase[None])
-            return jnp.maximum(acc, jnp.max(sel, axis=0))
+            return match_acc(stage_ref[pl.ds(s * sseg, sseg)], acc)
 
-        matched_d = jax.lax.fori_loop(
-            0, jnp.where(live, (j + sseg - 1) // sseg, 0), scan_stage,
-            matched_d,
+        acc = jax.lax.fori_loop(
+            0, jnp.where(live, (j + sseg - 1) // sseg, 0), scan_stage, acc
         )
+
+        if maxval:
+            d = acc - tbase
+            matched_d = jnp.where((d >= 0) & (d < dyn_codes), d, row_d)
+        else:
+            matched_d = jnp.maximum(acc, row_d)
 
         matched = matched_d + first_free
         miss = active & (matched_d < 0) & jnp.logical_not(is_first)
@@ -434,7 +464,7 @@ def _make_kernel_chunk(seg: int, spec_key=None, sseg: int | None = None):
         # recompaction; rows [0, cur_in) are code-indexed bare keys (padded
         # with -1 holes to the seg-aligned append base), appends land past
         # the aligned base in packed key<<12|code form.
-        n_base = (cur_in_ref[0, 0] + seg - 1) // seg
+        n_base = (cur_in_ref[g, 0] + seg - 1) // seg
 
         @pl.when(c == 0)
         def _init():
@@ -948,7 +978,43 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
     )
     xs = x.reshape(G, n_chunks, chunk, sub, 128).transpose(1, 0, 2, 3, 4)
     l = lens.reshape(G, 1, sub, 128)
+    sseg = _clamp_sseg(sseg, cell)
 
+    # The scan+pallas pipeline MISCOMPUTES on hardware at G >= 3 (identical
+    # wrong output in every group; raw kernel slots verified correct
+    # un-jitted; the isolated compaction verified correct jitted — a
+    # shape-triggered XLA/relay compile issue, r3).  Run super-groups of at
+    # most 2 grid groups through lax.map: the per-iteration program is the
+    # G<=2 shape that is verified correct end-to-end on the chip.
+    g0 = G if G <= 2 else (2 if G % 2 == 0 else 1)
+    if g0 == G:
+        codes, errs = _scan_chunks(
+            xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key, R,
+            total, interpret,
+        )
+    else:
+        nsg = G // g0
+        xs_m = xs.reshape(
+            n_chunks, nsg, g0, chunk, sub, 128
+        ).transpose(1, 0, 2, 3, 4, 5)
+        l_m = l.reshape(nsg, g0, 1, sub, 128)
+        codes_m, errs_m = jax.lax.map(
+            lambda a: _scan_chunks(
+                a[0], a[1], g0, sub, n_chunks, chunk, cell, seg, sseg,
+                spec_key, R, total, interpret,
+            ),
+            (xs_m, l_m),
+        )
+        codes = codes_m.reshape(G, total, sub, 128)
+        errs = errs_m.reshape(G, 8, sub, 128)
+
+    return _compact_grouped_codes(codes, errs, G, total, group, N)
+
+
+def _scan_chunks(xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key,
+                 R, total, interpret):
+    """One lax.scan over the chunk axis for G grid groups; returns the raw
+    code slots (G, total, sub, 128) and the final error planes."""
     first_free = FIRST_FREE if spec_key is None else spec_key[0]
     dense0 = jnp.full((G, R, sub, 128), HOLE, jnp.int32)
     state0 = jnp.stack(
@@ -960,7 +1026,6 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
     cur0 = jnp.zeros((G, 1), jnp.int32)
     offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
 
-    sseg = _clamp_sseg(sseg, cell)
     call = pl.pallas_call(
         _make_kernel_chunk(seg, spec_key, sseg),
         grid=(G, chunk // cell),
@@ -970,8 +1035,10 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
             pl.BlockSpec((1,), lambda g, c: (0,), memory_space=pltpu.SMEM),
             pl.BlockSpec(memory_space=pl.ANY),  # dense table (HBM)
             pl.BlockSpec((1, 4, sub, 128), lambda g, c: (g, 0, 0, 0)),
-            pl.BlockSpec((1, 1), lambda g, c: (g, 0),
-                         memory_space=pltpu.SMEM),
+            # Whole-array SMEM view indexed by program_id(0) in the kernel:
+            # a (1, 1) block over (G, 1) trips Mosaic's block-shape rule
+            # for G > 1 (first seen at 4 groups).
+            pl.BlockSpec(memory_space=pltpu.SMEM),
         ],
         out_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
@@ -1028,7 +1095,7 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
         body, (dense0, state0, cur0), (xs, offs)
     )
     codes = codes_all.transpose(1, 0, 2, 3, 4).reshape(G, total, sub, 128)
-    return _compact_grouped_codes(codes, errs_all[-1], G, total, group, N)
+    return codes, errs_all[-1]
 
 
 def group_for(block_size: int) -> int:
@@ -1044,7 +1111,8 @@ def group_for(block_size: int) -> int:
 def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
                             little: bool = True, interpret: bool = False,
                             group: int | None = None, cell: int = CELL,
-                            seg: int = SEG, compact: bool = False,
+                            seg: int = SEG,
+                            compact: str | bool = "stage",
                             chunk: int = CHUNK, sseg: int | None = SSEG,
                             chunked: bool | None = None):
     """Fixed-12-bit block-parallel encode on TPU.
@@ -1087,7 +1155,8 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
                                      interpret: bool = False,
                                      group: int | None = None,
                                      cell: int = CELL,
-                                     seg: int = SEG, compact: bool = False,
+                                     seg: int = SEG,
+                                     compact: str | bool = "stage",
                                      chunk: int = CHUNK,
                                      sseg: int | None = SSEG,
                                      chunked: bool | None = None):

@@ -299,11 +299,21 @@ class BlockParallelCodec:
         N = self._pad_rows(header.n_blocks)
         comp_bound = max(self._packed_bound, max(len(p) for p in payloads))
         if use_pallas_decode:
-            from lzw_tpu.kernels.decode_pallas import GROUP
+            from lzw_tpu.kernels.decode_pallas import CELL, GROUP
 
-            if N % GROUP != 0:
-                N = ((N + GROUP - 1) // GROUP) * GROUP
-            comp_bound = ((comp_bound + 2) // 3) * 3
+            # Size the payload matrix by the ACTUAL longest payload, not the
+            # worst-case packed bound: the pass-1 kernel's VMEM tables scale
+            # with the code-slot count S, and the worst-case bound at a
+            # 32-sublane group OOMs the chip (seen live: S=4608 tables are
+            # 75 MB each).  When the actual S is still large (incompressible
+            # blocks), halve the group until the S x sublane footprint fits.
+            comp_bound = ((max(len(p) for p in payloads) + 2) // 3) * 3
+            s_est = -(-(comp_bound // 3 * 2) // CELL) * CELL
+            group = GROUP
+            while group > 128 and (group // 128) * s_est > 80_000:
+                group //= 2
+            if N % group != 0:
+                N = ((N + group - 1) // group) * group
         comp = np.zeros((N, comp_bound), np.uint8)
         clens = np.zeros(N, np.int32)
         for i, p in enumerate(payloads):
@@ -317,6 +327,7 @@ class BlockParallelCodec:
             words, _, totals, errs, err_codes, _pair = decode_pass1_fixed_tpu(
                 jnp.asarray(comp), jnp.asarray(clens), self.block_size,
                 little=self.spec.endianness is Endianness.LITTLE,
+                group=group,
             )
             n = header.n_blocks
             errs = np.asarray(errs)[:n]

@@ -1,13 +1,13 @@
-"""Measure the scan range-test form: (d>=0)&(d<dyn) vs d<dyn alone.
+"""Measure the scan match-test form: "full" (d>=0)&(d<dyn), "drop_ge"
+(d<dyn alone — negative deltas lose the running max), or "maxval" (3
+ops/row: max table value below tbase+dyn, range-validated once per step on
+the accumulator).  All variants run the ONE shared `_stage_step_fn`
+implementation (its ``range_test`` parameter), so the A/B can never drift
+from the real kernel; the partial is applied before any trace so the
+persistent cache keys on distinct HLO.
 
-Negative deltas (smaller keys, holes) always lose the running max against
-the -1 accumulator, so the d>=0 arm is semantically redundant; this checks
-whether Mosaic's fused range test is also the faster form (the in-code NOTE
-says a single *unsigned* compare measured 9% slower — this is the third
-form).  Both variants run the ONE shared `_stage_step_fn` implementation
-(its ``range_test`` parameter), so the A/B can never drift from the real
-kernel; the partial is applied before any trace so the persistent cache
-keys on distinct HLO."""
+Usage: python scripts/ab_rangetest.py [MB] [full|drop|maxval]
+"""
 
 import functools
 import pathlib
@@ -28,11 +28,10 @@ from lzw_tpu.utils.corpus import load_tokyo_pixels
 
 ASSETS = pathlib.Path(__file__).resolve().parent.parent / "test-assets"
 
-DROP_GE = len(sys.argv) > 2 and sys.argv[2] == "drop"
+FORM = sys.argv[2] if len(sys.argv) > 2 else "full"
+FORM = {"drop": "drop_ge"}.get(FORM, FORM)
 
-ep._stage_step_fn = functools.partial(
-    ep._stage_step_fn, range_test="drop_ge" if DROP_GE else "full"
-)
+ep._stage_step_fn = functools.partial(ep._stage_step_fn, range_test=FORM)
 
 
 def check_blocks(pay, ln, blocks, spec):
@@ -75,7 +74,7 @@ def main():
         np.asarray(ln[:4])
         best = min(best, time.perf_counter() - t0)
     rate = N * B / best
-    tag = "drop-ge" if DROP_GE else "range  "
+    tag = f"{FORM:7}"
     print(f"{tag}: {rate/2**20:6.1f} MiB/s ({rate/(120*2**20):.2f}x) "
           f"compile {tc:.0f}s", flush=True)
 

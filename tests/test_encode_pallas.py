@@ -288,3 +288,33 @@ def test_chunked_driver_matches_oracle():
     for i, b in enumerate(blocks):
         expect = oracle.encode_bytes(b, spec)
         assert payloads[i, : lengths[i]].tobytes() == expect, f"block {i}"
+
+
+@pytest.mark.slow
+def test_chunked_driver_multi_group():
+    # Two kernel-grid groups whose dictionary cursors diverge sharply
+    # (random bytes insert ~every step; a constant run barely inserts): the
+    # per-group carried cursor must not leak across groups (regression: the
+    # chunked kernel once read group 0's cursor for every group).
+    spec = FIXED_LE
+    rng = np.random.default_rng(7)
+    B = 1024
+    mat = np.zeros((512, B), np.uint8)
+    mat[:128] = rng.integers(0, 256, size=(128, B)).astype(np.uint8)
+    mat[128:256] = 9  # second group: single-symbol runs, tiny dictionaries
+    mat[256:384] = rng.integers(0, 4, size=(128, B)).astype(np.uint8)
+    mat[384:] = np.arange(B, dtype=np.uint8)[None]
+    lens = np.full(512, B, np.int32)
+    from lzw_tpu.kernels.encode_pallas import _run_encode_kernel_chunked
+
+    # G=4 also exercises the lax.map super-group path (hardware runs the
+    # scan+pallas pipeline per <=2 grid groups; see _run_encode_kernel_chunked)
+    dense, counts, errs, _ = _run_encode_kernel_chunked(
+        jnp.asarray(mat), jnp.asarray(lens), B, None, True, 128, 128, 128,
+        512, 32,
+    )
+    payloads, lengths = encode_pallas._pack12(dense, counts, True)
+    payloads, lengths = np.asarray(payloads), np.asarray(lengths)
+    for i in (0, 64, 127, 128, 200, 255, 300, 400, 511):
+        expect = oracle.encode_bytes(mat[i].tobytes(), spec)
+        assert payloads[i, : lengths[i]].tobytes() == expect, f"block {i}"
