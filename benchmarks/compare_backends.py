@@ -355,22 +355,32 @@ def main():
 
     corpus = load_corpus(ASSETS)
     results: list[str] = []
+
+    def checkpoint():
+        # Persist after every section: a crash or timeout late in the run
+        # must not lose the rows already measured.
+        if args.json:
+            args.json.write_text("\n".join(results) + "\n")
+
     for corpus_name, data in corpus.items():
         data = data * args.scale
         for name, spec in FLAVORS.items():
             if args.oracle:
                 bench_oracle(spec, name, corpus_name, data, results)
             bench_native(spec, name, corpus_name, data, results)
+            checkpoint()
             if args.device:
                 bench_device(spec, name, corpus_name, data, results)
+                checkpoint()
                 if name == "gif_cs7":  # the container-default config
                     bench_device_64k(spec, name, corpus_name, data, results)
+                    checkpoint()
         bench_nonstrict(corpus_name, data, results)
+        checkpoint()
 
     for line in results:
         print(line)
-    if args.json:
-        args.json.write_text("\n".join(results) + "\n")
+    checkpoint()
 
 
 if __name__ == "__main__":

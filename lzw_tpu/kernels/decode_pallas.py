@@ -537,11 +537,16 @@ def decode_variable_device_run(payloads, counts, sched_arr, spec, S: int,
     totals, errs, err_codes = stats[:, 0], stats[:, 1], stats[:, 2]
     # Pass 2 holds the whole codes+pair tables per lane in VMEM; at big
     # block sizes (S in the tens of thousands) shrink the instance so the
-    # two S x sub x 128 x 4B tables stay under ~60 MiB.
+    # two S x sub x 128 x 4B tables stay under ~60 MiB.  The sublane budget
+    # must round DOWN to a power of two (a 3-sublane group never divides a
+    # power-of-two N — seen live: the halving loop degraded to group2=1 and
+    # tripped pass 2's shape assert), and pass 2 must not regroup UP past
+    # pass 1's group (the pair-table regroup only supports splitting).
     budget = 60 << 20
     sub_max = max(1, budget // (S * 128 * 4 * 2))
-    group2 = min(group2, sub_max * 128)
-    while N % group2:
+    sub_max = 1 << (sub_max.bit_length() - 1)
+    group2 = max(128, min(group2, sub_max * 128, group))
+    while N % group2 and group2 > 128:
         group2 //= 2
     epochs = jnp.asarray(np.asarray(sched_arr)[1, :S].astype(np.int32))
     codes_aug = dense | (epochs[None, :] << 12)
@@ -719,6 +724,21 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
 
     G1, Sp, sub1, _ = pair.shape
     assert Sp == S and G1 * sub1 == G * sub
+    if S % seg:
+        # The bounded row-match scans slice [s*seg, s*seg+seg); a final
+        # partial segment would clamp the dynamic-slice start and shift the
+        # loaded rows under the row iota — words in the last partial
+        # segment then resolve garbage (seen live: S=2944 with seg=256
+        # corrupted every block whose word count exceeded 2816).  Pad both
+        # tables to a whole segment; zero rows never row-match.
+        padn = seg - S % seg
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((N, padn), codes.dtype)], axis=1
+        )
+        pair = jnp.concatenate(
+            [pair, jnp.zeros((G1, padn, sub1, 128), pair.dtype)], axis=1
+        )
+        S += padn
     if sub1 != sub:
         assert sub1 % sub == 0, (sub1, sub)
         f = sub1 // sub

@@ -28,6 +28,17 @@ def test_round_trip_multi_block(spec, tokyo_pixels):
     assert codec.decode(container) == data
 
 
+def test_incompressible_round_trip_fixed():
+    # Random bytes barely compress, so payload lengths approach the packed
+    # bound — the shape class whose worst-case-sized decode tables OOM'd
+    # the chip's VMEM before the actual-length sizing + adaptive group
+    # fallback (r3); the container must still round-trip.
+    rng = np.random.default_rng(3)
+    data = rng.integers(0, 256, size=4096 * 3 + 17).astype(np.uint8).tobytes()
+    codec = BlockParallelCodec(FIXED_LE, block_size=4096)
+    assert codec.decode(codec.encode(data)) == data
+
+
 def test_blocks_are_reference_streams(lorem_ipsum):
     # Every payload must decode standalone with the plain reference oracle.
     codec = BlockParallelCodec(GIF7, block_size=4096)

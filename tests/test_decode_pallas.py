@@ -303,3 +303,38 @@ class TestVariableAllDevice:
         )
         assert strict[0] and not np.asarray(errs)[0]
         assert np.asarray(out)[0, : np.asarray(totals)[0]].tobytes() == data
+
+
+@pytest.mark.slow
+def test_pass2_scan_segment_alignment():
+    # When the code-slot count S is NOT a multiple of the pass-2 scan
+    # segment, the bounded row-match scans used to slice past the table and
+    # the clamped dynamic-slice start shifted rows under the match iota:
+    # every word in the final partial segment resolved garbage (r3 live
+    # find: S=2944, seg2=256 corrupted exactly the blocks with more than
+    # 2816 words).  Distilled: cell=128 rounds S to 384 for ~300 words,
+    # (384//256)*256 = 256, so words past 256 sit in the partial segment.
+    spec = LzwSpec.gif(7)
+    base = (b"the quick brown fox jumps over the lazy dog. " * 40)
+    data = bytes(b % 128 for b in base)
+    # pick a prefix whose encoding lands in (256, 384] data codes
+    lo, hi = len(data) // 4, len(data)
+    pick = None
+    for cut in range(hi, lo, -16):
+        n = len(oracle.encode_codes(data[:cut], spec)) - 2
+        if 256 < n <= 384:
+            pick = data[:cut]
+            break
+    assert pick is not None, "corpus never lands in the hazard window"
+    p = oracle.encode_bytes(pick, spec)
+    N = 128
+    payloads = np.zeros((N, len(p)), np.uint8)
+    payloads[:] = np.frombuffer(p, np.uint8)
+    plens = np.full(N, len(p), np.int64)
+    out, totals, errs, _, strict = decode_pallas.decode_variable_all_device(
+        payloads, plens, spec, 2048, interpret=True, group=128, cell=128,
+        group2=128,  # seg2 stays at the 256 default > cell
+    )
+    assert strict.all() and not np.asarray(errs).any()
+    assert np.asarray(out)[0, : np.asarray(totals)[0]].tobytes() == pick
+    assert np.asarray(out)[127, : np.asarray(totals)[127]].tobytes() == pick
