@@ -100,10 +100,15 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
     if spec.variable:
         hi = spec.max_code_value + 1
         data = bytes(b % hi for b in data)
+    # Upload only the corpus and tile it device-side: the dev relay crawls
+    # (sub-MB/s on bad days) and the workload must not depend on it.
+    base = np.frombuffer(data, np.uint8)
+    dup = jnp.asarray(base)
+    np.asarray(dup[:4])
+    db = jnp.tile(dup, -(-(N * B) // len(base)))[: N * B].reshape(N, B)
     blocks = np.frombuffer(
         (data * (N * B // len(data) + 1))[: N * B], np.uint8
     ).reshape(N, B)
-    db = jnp.asarray(blocks)
     dl = jnp.full((N,), B, jnp.int32)
     np.asarray(db[0, :4])
     little = spec.endianness is Endianness.LITTLE

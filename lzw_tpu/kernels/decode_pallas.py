@@ -537,13 +537,16 @@ def decode_variable_device_run(payloads, counts, sched_arr, spec, S: int,
     totals, errs, err_codes = stats[:, 0], stats[:, 1], stats[:, 2]
     # Pass 2 holds the whole codes+pair tables per lane in VMEM; at big
     # block sizes (S in the tens of thousands) shrink the instance so the
-    # two S x sub x 128 x 4B tables stay under ~60 MiB.  The sublane budget
-    # must round DOWN to a power of two (a 3-sublane group never divides a
-    # power-of-two N — seen live: the halving loop degraded to group2=1 and
-    # tripped pass 2's shape assert), and pass 2 must not regroup UP past
-    # pass 1's group (the pair-table regroup only supports splitting).
-    budget = 60 << 20
-    sub_max = max(1, budget // (S * 128 * 4 * 2))
+    # tables fit the 100 MB scoped-vmem limit.  The pipeline double-buffers
+    # both input blocks across grid groups, so the real footprint is
+    # 2 tables x 2 copies x S x sub x 128 x 4B (seen live at 64 KiB:
+    # S=28672, sub=2 allocated 113 MB and OOM'd the compile).  The sublane
+    # budget must round DOWN to a power of two (a 3-sublane group never
+    # divides a power-of-two N — seen live: the halving loop degraded to
+    # group2=1 and tripped pass 2's shape assert), and pass 2 must not
+    # regroup UP past pass 1's group (the pair-table regroup only splits).
+    budget = 118 << 20  # vs pass 2's 126 MB scoped-vmem ceiling
+    sub_max = max(1, budget // (S * 128 * 4 * 4))
     sub_max = 1 << (sub_max.bit_length() - 1)
     group2 = max(128, min(group2, sub_max * 128, group))
     while N % group2 and group2 > 128:
@@ -748,22 +751,46 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
     x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
     meta = n_codes.reshape(G, 1, sub, 128)
 
-    rev = pl.pallas_call(
-        _make_pass2_kernel(seg, alphabet, variable),
-        grid=(G, R // cell),
-        in_specs=[
-            pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
-            pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
-            pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
-        ],
-        out_specs=pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
-        out_shape=jax.ShapeDtypeStruct((G, R, sub, 128), jnp.int32),
-        scratch_shapes=[pltpu.VMEM((3, sub, 128), jnp.int32)],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024,
-        ),
-        interpret=interpret,
-    )(x, pair, meta)
+    def run_groups(xg, pairg, metag, Gi):
+        return pl.pallas_call(
+            _make_pass2_kernel(seg, alphabet, variable),
+            grid=(Gi, R // cell),
+            in_specs=[
+                pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
+                pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
+                pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, cell, sub, 128), lambda g, c: (g, c, 0, 0)
+            ),
+            out_shape=jax.ShapeDtypeStruct((Gi, R, sub, 128), jnp.int32),
+            scratch_shapes=[pltpu.VMEM((3, sub, 128), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                # v5e VMEM is 128 MB; the two S x sub x 128 tables are
+                # double-buffered across grid groups, so the default 100 MB
+                # scoped limit rejects sub=2 at 64 KiB blocks (117 MB).
+                vmem_limit_bytes=126 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xg, pairg, metag)
+
+    # Grids with many groups MISCOMPUTE on this hardware (same
+    # shape-triggered XLA/relay issue as the chunked encoder at G >= 3,
+    # seen live here at G=16/64 KiB: garbage output, interpret correct).
+    # Run super-groups of at most 2 grid groups through lax.map — the
+    # G <= 2 shape is the one verified correct on the chip.
+    g0 = G if G <= 2 else (2 if G % 2 == 0 else 1)
+    if g0 == G:
+        rev = run_groups(x, pair, meta, G)
+    else:
+        nsg = G // g0
+        rev = jax.lax.map(
+            lambda a: run_groups(a[0], a[1], a[2], g0),
+            (x.reshape(nsg, g0, S, sub, 128),
+             pair.reshape(nsg, g0, S, sub, 128),
+             meta.reshape(nsg, g0, 1, sub, 128)),
+        )
+        rev = rev.reshape(G, R, sub, 128)
 
     # The emission stream is the output reversed per lane: shift each lane
     # down by (R - total) so its bytes occupy the tail, then a uniform flip

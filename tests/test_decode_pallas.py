@@ -246,6 +246,39 @@ class TestDevicePass2:
         got = self._roundtrip(datas, FIXED_LE, 4096, cell=512, seg=512)
         assert got[0] == datas[0]
 
+    def test_many_groups_super_group_map(self):
+        # G = N/group > 2 routes pass 2 through lax.map super-groups of <= 2
+        # grid groups (the G>2 shapes miscompute on the chip, same class as
+        # the chunked encoder's G>=3 issue).  N=512/group=128 -> G=4, nsg=2;
+        # payloads land in different super-groups so a group-indexing slip
+        # (wrong block fetched per map step) cannot round-trip.
+        rng = np.random.default_rng(13)
+        datas = [rng.integers(0, 256, size=64).astype(np.uint8).tobytes()
+                 for _ in range(4)]
+        payload_list = [oracle.encode_bytes(d, FIXED_LE) for d in datas]
+        N, group = 512, 128
+        pb = ((max(len(p) for p in payload_list) + 2) // 3) * 3
+        payloads = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        for i, p in enumerate(payload_list):
+            row = i * group + i  # one payload per grid group, offset lanes
+            payloads[row, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[row] = len(p)
+        words, n_codes, totals, errs, _, (pair, codes) = (
+            decode_pallas.decode_pass1_fixed_tpu(
+                jnp.asarray(payloads), jnp.asarray(plens), 128,
+                little=True, interpret=True, group=group, cell=64, seg=64,
+            )
+        )
+        out = decode_pallas.decode_pass2_device(
+            codes, pair, n_codes, totals, 128,
+            interpret=True, group=group, cell=64, seg=64,
+        )
+        out, totals = np.asarray(out), np.asarray(totals)
+        for i, d in enumerate(datas):
+            row = i * group + i
+            assert out[row, : totals[row]].tobytes() == d, f"group {i}"
+
 
 class TestVariableAllDevice:
     def test_variable_all_device_round_trip(self):
