@@ -205,16 +205,14 @@ def main() -> None:
                 dbv = (flat[: Nv * BV] % 128).reshape(Nv, BV)
                 dlv = jnp.full((Nv,), BV, jnp.int32)
 
-                @jax.jit
+                # TWO dispatches, not one jit: the fused encode+pack
+                # program mis-packs on hardware (encode_pack_variable_tpu
+                # docstring has the r3 find; round-trip gate below).
                 def _envc(d):
-                    dense, counts, _, _ = (
-                        _ep.encode_blocks_variable_codes_tpu(
-                            d, dlv, gspec, BV
-                        )
+                    bufs_v, nb_v_, _, _ = _ep.encode_pack_variable_tpu(
+                        d, dlv, gspec, BV
                     )
-                    return _sc.pack_variable_device(
-                        dense, counts, gspec, fix_eoi=True
-                    )
+                    return bufs_v, nb_v_
 
                 _, nbv = _envc(dbv)
                 np.asarray(nbv[:4])

@@ -43,21 +43,20 @@ def bench_native(spec, name, corpus_name, data, results, repeats=3):
     best = min(
         _t(lambda: rt.encode(data, spec)) for _ in range(repeats)
     )
-    results.append(RunMetrics("encode", name, len(data), len(enc), best)
-                   .to_json().replace('"}', f'", "backend": "native", '
-                                            f'"corpus": "{corpus_name}"}}'))
+    results.append(_row(RunMetrics("encode", name, len(data), len(enc),
+                                   best), "native", corpus_name))
     best = min(_t(lambda: rt.decode(enc, spec)) for _ in range(repeats))
-    results.append(RunMetrics("decode", name, len(enc), len(data), best)
-                   .to_json().replace('"}', f'", "backend": "native", '
-                                            f'"corpus": "{corpus_name}"}}'))
+    results.append(_row(RunMetrics("decode", name, len(enc), len(data),
+                                   best), "native", corpus_name))
     # threaded block mode
     best = min(
-        _t(lambda: rt.encode_blocks(data, spec, 1 << 14)) for _ in range(repeats)
+        _t(lambda: rt.encode_blocks(data, spec, 1 << 14))
+        for _ in range(repeats)
     )
-    results.append(RunMetrics("encode", name, len(data), len(enc), best,
-                              n_blocks=len(data) // (1 << 14) + 1)
-                   .to_json().replace('"}', f'", "backend": "native-mt", '
-                                            f'"corpus": "{corpus_name}"}}'))
+    results.append(_row(
+        RunMetrics("encode", name, len(data), len(enc), best,
+                   n_blocks=len(data) // (1 << 14) + 1),
+        "native-mt", corpus_name))
 
 
 def bench_oracle(spec, name, corpus_name, data, results, repeats=3):
@@ -69,15 +68,13 @@ def bench_oracle(spec, name, corpus_name, data, results, repeats=3):
     best = min(
         _t(lambda: oracle.encode_bytes(data, spec)) for _ in range(repeats)
     )
-    results.append(RunMetrics("encode", name, len(data), len(enc), best)
-                   .to_json().replace('"}', f'", "backend": "oracle", '
-                                            f'"corpus": "{corpus_name}"}}'))
+    results.append(_row(RunMetrics("encode", name, len(data), len(enc),
+                                   best), "oracle", corpus_name))
     best = min(
         _t(lambda: oracle.decode_bytes(enc, spec)) for _ in range(repeats)
     )
-    results.append(RunMetrics("decode", name, len(enc), len(data), best)
-                   .to_json().replace('"}', f'", "backend": "oracle", '
-                                            f'"corpus": "{corpus_name}"}}'))
+    results.append(_row(RunMetrics("decode", name, len(enc), len(data),
+                                   best), "oracle", corpus_name))
 
 
 def bench_device(spec, name, corpus_name, data, results, repeats=3):
@@ -135,10 +132,9 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
 
     best = min(timed_enc(r) for r in range(repeats))
     comp_bytes = int(np.asarray(nb).astype(np.int64).sum())
-    results.append(RunMetrics(
+    results.append(_row(RunMetrics(
         "encode", name, N * B, comp_bytes, best, n_blocks=N, n_devices=1,
-    ).to_json().replace('"}', f'", "backend": "tpu-hbm", '
-                              f'"corpus": "{corpus_name}"}}'))
+    ), "tpu-hbm", corpus_name))
 
     # Decode: all-device (pass 1 + chain-walk pass 2).
     pb_act = int(np.asarray(jnp.max(nb)))
@@ -191,10 +187,9 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
         bestd = min(timed_dec(r) for r in range(repeats))
         assert (np.asarray(out[1:9]) == blocks[1:9]).all(), "round trip"
 
-    results.append(RunMetrics(
+    results.append(_row(RunMetrics(
         "decode", name, comp_bytes, N * B, bestd, n_blocks=N, n_devices=1,
-    ).to_json().replace('"}', f'", "backend": "tpu-hbm", '
-                              f'"corpus": "{corpus_name}"}}'))
+    ), "tpu-hbm", corpus_name))
 
 
 def bench_device_64k(spec, name, corpus_name, data, results, repeats=2):
@@ -222,13 +217,12 @@ def bench_device_64k(spec, name, corpus_name, data, results, repeats=2):
     np.asarray(db[0, :4])
     dl = jnp.full((N,), B, jnp.int32)
 
-    def enc(d):
-        dense, counts, _, _ = ep.encode_blocks_variable_codes_tpu(
-            d, dl, spec, B
-        )
-        return sc.pack_variable_device(dense, counts, spec, fix_eoi=True)
+    # Two dispatches, NOT one jit: the fused encode+pack program mis-packs
+    # on hardware (see encode_pack_variable_tpu's docstring).
+    def f(d):
+        pay_, nb_, _, _ = ep.encode_pack_variable_tpu(d, dl, spec, B)
+        return pay_, nb_
 
-    f = jax.jit(enc)
     pay, nb = f(db)
     np.asarray(nb[:4])
     best = float("inf")
@@ -240,10 +234,9 @@ def bench_device_64k(spec, name, corpus_name, data, results, repeats=2):
         np.asarray(nb[:4])
         best = min(best, time.perf_counter() - t0)
     comp_bytes = int(np.asarray(nb).astype(np.int64).sum())
-    results.append(RunMetrics(
+    results.append(_row(RunMetrics(
         "encode", name, N * B, comp_bytes, best, n_blocks=N, n_devices=1,
-    ).to_json().replace('"}', f'", "backend": "tpu-hbm-64k", '
-                              f'"corpus": "{corpus_name}"}}'))
+    ), "tpu-hbm-64k", corpus_name))
 
     pay, nb = f(db)  # unperturbed payloads for the decode rows
     pb = int(np.asarray(jnp.max(nb)))
@@ -274,10 +267,9 @@ def bench_device_64k(spec, name, corpus_name, data, results, repeats=2):
         bestd = min(bestd, time.perf_counter() - t0)
     k = (1 - repeats) % N
     assert (np.asarray(out[1]) == np.asarray(db[k])).all(), "round trip"
-    results.append(RunMetrics(
+    results.append(_row(RunMetrics(
         "decode", name, comp_bytes, N * B, bestd, n_blocks=N, n_devices=1,
-    ).to_json().replace('"}', f'", "backend": "tpu-hbm-64k", '
-                              f'"corpus": "{corpus_name}"}}'))
+    ), "tpu-hbm-64k", corpus_name))
 
 
 def _spliced_nonstrict_stream(data: bytes, spec, piece: int = 2000) -> bytes:
@@ -334,10 +326,21 @@ def bench_nonstrict(corpus_name, data, results, repeats=3):
     out = rt.decode(stream, spec)
     assert out == src, "fallback decode mismatch"
     best = min(_t(lambda: rt.decode(stream, spec)) for _ in range(repeats))
-    results.append(RunMetrics(
+    results.append(_row(RunMetrics(
         "decode", "gif_cs7_nonstrict", len(stream), len(out), best,
-    ).to_json().replace('"}', f'", "backend": "native-fallback", '
-                              f'"corpus": "{corpus_name}"}}'))
+    ), "native-fallback", corpus_name))
+
+
+def _row(metrics: RunMetrics, backend: str, corpus_name: str) -> str:
+    """One JSONL row: RunMetrics fields + backend/corpus tags.
+
+    (A string .replace on the JSON tail silently dropped the tags when the
+    serialized dict ended with a numeric field — do it on the dict.)
+    """
+    d = json.loads(metrics.to_json())
+    d["backend"] = backend
+    d["corpus"] = corpus_name
+    return json.dumps(d)
 
 
 def _t(fn):

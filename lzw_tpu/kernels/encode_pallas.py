@@ -45,7 +45,8 @@ from lzw_tpu.kernels.common import compact_columns_jax
 from lzw_tpu.spec import MAX_TABLE_SIZE
 
 __all__ = ["encode_blocks_fixed_tpu",
-           "encode_blocks_variable_codes_tpu", "BLOCK_SIZE", "GROUP",
+           "encode_blocks_variable_codes_tpu", "encode_pack_variable_tpu",
+           "BLOCK_SIZE", "GROUP",
            "GROUP_CHUNKED", "CHUNK", "group_for"]
 
 BLOCK_SIZE = 4096  # single-launch device block size (bytes); bigger blocks
@@ -1188,3 +1189,44 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
         blocks, lens, block_size, spec_key, interpret, group, cell, seg,
         compact, sseg,
     )
+
+
+def encode_pack_variable_tpu(blocks, lens, spec,
+                             block_size: int = BLOCK_SIZE,
+                             fix_eoi: bool = True, **kw):
+    """Variable encode + device bit-pack as TWO separate XLA programs.
+
+    Do NOT wrap :func:`encode_blocks_variable_codes_tpu` and
+    ``schedule.pack_variable_device`` in one outer ``jax.jit`` on TPU
+    hardware: the fused program mis-packs the stream (r3 live find — with
+    the chunked 64 KiB driver the dense code matrix is bit-exact but the
+    fused pack diverges from ~the 9-bit segment on, on every row, on both
+    corpora; an ``optimization_barrier`` between the stages does NOT fix
+    it, and each stage compiled as its own program is byte-exact vs the
+    oracle).  Shape-triggered XLA/relay miscompiles in this pipeline have
+    precedent (`_run_encode_kernel_chunked`'s G>=3 super-group map).  This
+    helper is the sanctioned composition; the container
+    (`parallel/block.py`) uses the same two-dispatch split.
+
+    Returns (payload u8[N, PB], n_bytes i32[N], err i32[N], err_code
+    i32[N]).
+    """
+    from lzw_tpu.kernels import schedule as _sched
+
+    enc = _encode_codes_jitted(spec, block_size, tuple(sorted(kw.items())))
+    dense, counts, errs, err_codes = enc(blocks, lens)
+    bufs, nb = _sched.pack_variable_device(dense, counts, spec,
+                                           fix_eoi=fix_eoi)
+    return bufs, nb, errs, err_codes
+
+
+@functools.lru_cache(maxsize=16)
+def _encode_codes_jitted(spec, block_size, kw_items):
+    kw = dict(kw_items)
+
+    def f(blocks, lens):
+        return encode_blocks_variable_codes_tpu(
+            blocks, lens, spec, block_size, **kw
+        )
+
+    return jax.jit(f)

@@ -68,11 +68,13 @@ def main():
                 d, dlv, spec, BV, chunk=ch, cell=ce, sseg=ss, group=gr
             )
 
-        def enc(d):
-            dense, counts, _, _ = codes(d)
-            return sc.pack_variable_device(dense, counts, spec, fix_eoi=True)
-
-        f = jax.jit(enc)
+        # Two dispatches, NOT one jit: the fused encode+pack program
+        # mis-packs on hardware (see encode_pack_variable_tpu docstring).
+        def f(d, ch=chunk, ce=cell, ss=sseg, gr=group):
+            pay_, nb_, _, _ = ep.encode_pack_variable_tpu(
+                d, dlv, spec, BV, chunk=ch, cell=ce, sseg=ss, group=gr
+            )
+            return pay_, nb_
         t0 = time.perf_counter()
         pay, nb = f(dbv)
         np.asarray(nb[:4])

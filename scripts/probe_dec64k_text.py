@@ -40,13 +40,8 @@ def main():
     np.asarray(db[0, :4])
     dl = jnp.full((N,), B, jnp.int32)
 
-    def enc(d):
-        dense, counts, _, _ = ep.encode_blocks_variable_codes_tpu(
-            d, dl, spec, B
-        )
-        return sc.pack_variable_device(dense, counts, spec, fix_eoi=True)
-
-    pay, nb = jax.jit(enc)(db)
+    # Two dispatches, NOT one jit (see encode_pack_variable_tpu docstring).
+    pay, nb, _, _ = ep.encode_pack_variable_tpu(db, dl, spec, B)
     pb = int(np.asarray(jnp.max(nb)))
     pay = pay[:, :pb]
     nb_np = np.asarray(nb)

@@ -128,10 +128,9 @@ def measure_1chip(mb: int) -> dict:
     dlv = jnp.full((Nv,), BV, jnp.int32)
 
     def encv(d):
-        dense, counts, _, _ = ep.encode_blocks_variable_codes_tpu(
-            d, dlv, gspec, BV
-        )
-        return sc.pack_variable_device(dense, counts, gspec, fix_eoi=True)
+        # Two dispatches (see encode_pack_variable_tpu docstring).
+        pay_, nb_, _, _ = ep.encode_pack_variable_tpu(d, dlv, gspec, BV)
+        return pay_, nb_
 
     _, nbv = encv(dbv)
     np.asarray(nbv[:4])
