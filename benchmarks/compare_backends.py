@@ -166,10 +166,17 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
         PB3 = ((pb_act + 2) // 3) * 3
         pay = (bufs[:, :PB3] if PB3 <= bufs.shape[1]
                else jnp.pad(bufs, ((0, 0), (0, PB3 - bufs.shape[1]))))
+        # The fixed decoder's preferred instance is dp.GROUP blocks; tile the
+        # payload batch up to a multiple of it (as bench.py does).
+        Nd = max(dp.GROUP, N)
+        if Nd > N:
+            reps_d = -(-Nd // N)
+            pay = jnp.tile(pay, (reps_d, 1))[:Nd]
+        nbd = jnp.tile(nb, -(-Nd // N))[:Nd]
 
         def dec(p):
             w, nc, tot, de, dec_, (pair, codes) = dp.decode_pass1_fixed_tpu(
-                p, nb, B, little=little
+                p, nbd, B, little=little
             )
             return dp.decode_pass2_device(codes, pair, nc, tot, B), tot
 
@@ -186,6 +193,11 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
 
         bestd = min(timed_dec(r) for r in range(repeats))
         assert (np.asarray(out[1:9]) == blocks[1:9]).all(), "round trip"
+        results.append(_row(RunMetrics(
+            "decode", name, comp_bytes * (Nd // N), Nd * B, bestd,
+            n_blocks=Nd, n_devices=1,
+        ), "tpu-hbm", corpus_name))
+        return
 
     results.append(_row(RunMetrics(
         "decode", name, comp_bytes, N * B, bestd, n_blocks=N, n_devices=1,
