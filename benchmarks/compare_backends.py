@@ -167,8 +167,8 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
         pay = (bufs[:, :PB3] if PB3 <= bufs.shape[1]
                else jnp.pad(bufs, ((0, 0), (0, PB3 - bufs.shape[1]))))
         # The fixed decoder's preferred instance is dp.GROUP blocks; tile the
-        # payload batch up to a multiple of it (as bench.py does).
-        Nd = max(dp.GROUP, N)
+        # payload batch up to a true multiple of it (as bench.py does).
+        Nd = -(-max(dp.GROUP, N) // dp.GROUP) * dp.GROUP
         if Nd > N:
             reps_d = -(-Nd // N)
             pay = jnp.tile(pay, (reps_d, 1))[:Nd]
@@ -194,8 +194,8 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
         bestd = min(timed_dec(r) for r in range(repeats))
         assert (np.asarray(out[1:9]) == blocks[1:9]).all(), "round trip"
         results.append(_row(RunMetrics(
-            "decode", name, comp_bytes * (Nd // N), Nd * B, bestd,
-            n_blocks=Nd, n_devices=1,
+            "decode", name, int(np.asarray(nbd).astype(np.int64).sum()),
+            Nd * B, bestd, n_blocks=Nd, n_devices=1,
         ), "tpu-hbm", corpus_name))
         return
 

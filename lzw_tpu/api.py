@@ -165,15 +165,22 @@ class LzwCodec:
         buf[: len(data)] = np.frombuffer(data, np.uint8)
         dev = jnp.asarray(buf)
         p1 = _decode.decode_pass1(dev, jnp.int32(len(data)), self.spec)
+        err = int(p1["error"])
         total = int(p1["total_len"])
-        out_bound = _bucket(max(1, total))
+        # On a pass-1 error the output is discarded, but pass 2 must still
+        # scan the parsed prefix for an EARLIER chain-corruption error (the
+        # reference reports whichever the sequential decoder hits first,
+        # `decoder.rs:257-260`).  Its underflow detection is independent of
+        # the output bound, so use a 1-byte bound instead of materializing
+        # ``total`` garbage bytes from a truncated/corrupt table.
+        out_bound = 1 if err != _decode.ERR_NONE else _bucket(max(1, total))
         out, err_word_step, err_code2 = _decode.decode_pass2(
             p1["gprefix"], p1["gsuffix"], p1["glocal"], p1["out_g"],
             p1["out_len"], p1["out_off"], p1["out_lit"], out_bound,
             self.spec.alphabet_size,
         )
         self._raise_decode_error(
-            int(p1["error"]), int(p1["error_code"]), int(p1["n_words"]),
+            err, int(p1["error_code"]), int(p1["n_words"]),
             int(err_word_step), int(err_code2),
         )
         return bytes(np.asarray(out)[:total])

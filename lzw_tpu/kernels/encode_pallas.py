@@ -1193,7 +1193,8 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
 
 def encode_pack_variable_tpu(blocks, lens, spec,
                              block_size: int = BLOCK_SIZE,
-                             fix_eoi: bool = True, **kw):
+                             fix_eoi: bool = True,
+                             return_codes: bool = False, **kw):
     """Variable encode + device bit-pack as TWO separate XLA programs.
 
     Do NOT wrap :func:`encode_blocks_variable_codes_tpu` and
@@ -1209,7 +1210,9 @@ def encode_pack_variable_tpu(blocks, lens, spec,
     (`parallel/block.py`) uses the same two-dispatch split.
 
     Returns (payload u8[N, PB], n_bytes i32[N], err i32[N], err_code
-    i32[N]).
+    i32[N]); with ``return_codes`` the dense code matrix and counts are
+    appended so callers (oracle checks, A/B harnesses) can reuse them
+    without re-tracing the encode kernel.
     """
     from lzw_tpu.kernels import schedule as _sched
 
@@ -1217,6 +1220,8 @@ def encode_pack_variable_tpu(blocks, lens, spec,
     dense, counts, errs, err_codes = enc(blocks, lens)
     bufs, nb = _sched.pack_variable_device(dense, counts, spec,
                                            fix_eoi=fix_eoi)
+    if return_codes:
+        return bufs, nb, errs, err_codes, dense, counts
     return bufs, nb, errs, err_codes
 
 

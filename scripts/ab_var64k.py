@@ -15,7 +15,6 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
 from lzw_tpu.kernels import encode_pallas as ep, schedule as sc
@@ -63,25 +62,23 @@ def main():
         sseg = None if parts[2] == "none" else int(parts[2])
         group = int(parts[3]) if len(parts) > 3 else None
 
-        def codes(d, ch=chunk, ce=cell, ss=sseg, gr=group):
-            return ep.encode_blocks_variable_codes_tpu(
-                d, dlv, spec, BV, chunk=ch, cell=ce, sseg=ss, group=gr
-            )
-
         # Two dispatches, NOT one jit: the fused encode+pack program
         # mis-packs on hardware (see encode_pack_variable_tpu docstring).
+        # return_codes hands back the dense codes from the SAME cached
+        # encode jit, so the oracle check below doesn't re-trace the
+        # kernel a second time (which doubled per-variant compile cost).
         def f(d, ch=chunk, ce=cell, ss=sseg, gr=group):
-            pay_, nb_, _, _ = ep.encode_pack_variable_tpu(
-                d, dlv, spec, BV, chunk=ch, cell=ce, sseg=ss, group=gr
+            pay_, nb_, errs_, _, dense_, counts_ = ep.encode_pack_variable_tpu(
+                d, dlv, spec, BV, chunk=ch, cell=ce, sseg=ss, group=gr,
+                return_codes=True,
             )
-            return pay_, nb_
+            return pay_, nb_, errs_, dense_, counts_
         t0 = time.perf_counter()
-        pay, nb = f(dbv)
+        pay, nb, errs, dense, counts = f(dbv)
         np.asarray(nb[:4])
         tc = time.perf_counter() - t0
         # Oracle check on reference-exact packing (fix_eoi=False) of the
         # same dense codes, first/middle/last blocks.
-        dense, counts, errs, _ = jax.jit(codes)(dbv)
         assert not np.asarray(errs).any()
         idxs = np.array([0, Nv // 2, Nv - 1])
         pj, lj = sc.pack_variable(
@@ -97,7 +94,7 @@ def main():
             dvv = dbv.at[0, 0].set((rep + 1) % 120)
             np.asarray(dvv[0, :4])
             t0 = time.perf_counter()
-            pay, nb = f(dvv)
+            pay, nb, _, _, _ = f(dvv)
             np.asarray(nb[:4])
             best = min(best, time.perf_counter() - t0)
         rate = Nv * BV / best

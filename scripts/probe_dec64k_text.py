@@ -9,11 +9,9 @@ import time
 sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
 
 import numpy as np
-import jax
 import jax.numpy as jnp
 
-from lzw_tpu.kernels import decode_pallas as dp, encode_pallas as ep, \
-    schedule as sc
+from lzw_tpu.kernels import decode_pallas as dp, encode_pallas as ep
 from lzw_tpu.spec import LzwSpec
 from lzw_tpu.utils.cache import enable_compilation_cache
 
