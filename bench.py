@@ -312,8 +312,9 @@ def main() -> None:
         except Exception as e:  # pragma: no cover
             note(f"text metric skipped: {e!r}")
         # Correctness gate: container round-trip on a slice through the full
-        # host pipeline, decoded with the independent native runtime.
-        codec = BlockParallelCodec(spec, block_size=B)
+        # host pipeline, decoded with the independent native runtime; the
+        # per-batch verify sample is on (hardware default made explicit).
+        codec = BlockParallelCodec(spec, block_size=B, verify=True)
         slice_ = data[: B * 64 + 123]
         codec.encode(slice_)  # compile the e2e batch shape
         t0 = time.perf_counter()

@@ -56,7 +56,8 @@ from lzw_tpu.spec import MAX_TABLE_SIZE
 __all__ = [
     "decode_pass1_fixed_tpu", "decode_pass1_variable_tpu",
     "decode_pass2_device", "decode_variable_all_device",
-    "prepare_variable_decode", "decode_variable_device_run", "unpack12",
+    "prepare_variable_decode", "decode_variable_device_run",
+    "decode_variable_epochs_run", "epoch_bounds", "unpack12",
     "KIND_COPY", "KIND_LIT", "KIND_HOLE",
     "GROUP", "GROUP_VAR", "MAX_BLOCK", "NARROW_BLOCK",
 ]
@@ -565,13 +566,15 @@ def decode_variable_all_device(payloads, plens, spec, block_size: int,
                                interpret: bool = False,
                                group: int = GROUP_VAR, cell: int = CELL,
                                seg: int = 128, group2: int = 2048,
-                               seg2: int = 256):
+                               seg2: int = 256, epoch_split: bool = True):
     """Whole variable-flavor decode on the chip (strict streams).
 
     Pass 1 builds the copy descriptors and pair table; pass 2 chain-walks
-    them with row-matched lookups (the per-word epoch start rides the high
-    bits of the dense code matrix, straight from the static emission
-    schedule).  Returns (blocks u8[N, block_size], totals, errs, err_codes,
+    them with row-matched lookups.  With ``epoch_split`` (the default since
+    r4) pass 2 runs per dictionary epoch over (block, epoch) units, which
+    bounds the scan windows by one epoch's table; the legacy whole-stream
+    pass 2 (per-word epoch start in the code matrix's high bits) remains
+    for A/B.  Returns (blocks u8[N, block_size], totals, errs, err_codes,
     strict); non-strict streams must go through a fallback decoder.
     """
     import numpy as np
@@ -579,13 +582,160 @@ def decode_variable_all_device(payloads, plens, spec, block_size: int,
     counts, strict, sched_arr, S = prepare_variable_decode(
         payloads, plens, spec, cell
     )
-    out, totals, errs, err_codes, data_ok = decode_variable_device_run(
+    run = decode_variable_epochs_run if epoch_split \
+        else decode_variable_device_run
+    out, totals, errs, err_codes, data_ok = run(
         payloads, counts, sched_arr, spec, S, block_size,
         interpret=interpret, group=group, cell=cell, seg=seg, group2=group2,
         seg2=seg2,
     )
     strict = strict & np.asarray(data_ok)
     return out, totals, errs, err_codes, strict
+
+
+# --------------------------------------------------------------------------- #
+# Epoch-split variable decode                                                 #
+# --------------------------------------------------------------------------- #
+#
+# Strict variable streams reset the dictionary at table-full (the encoder's
+# own CLEAR, `encoder.rs:330-333`), so the code stream factors into
+# *independent* dictionary epochs at STATIC ordinals (the emission
+# schedule's clear_after positions).  Decoding lanes = (block, epoch) units
+# instead of whole blocks bounds both pass-2 scan windows by one epoch's
+# table (<= ~3.8k rows instead of the whole stream, the r3 scan-spread
+# disease) and shrinks per-lane VMEM so 4x more lanes share each scan.
+# Epoch outputs are reassembled with per-lane shifts (no gather).
+
+
+@functools.lru_cache(maxsize=64)
+def epoch_bounds(spec, S: int):
+    """Static (start, end) data-code ordinal spans of dictionary epochs."""
+    from lzw_tpu.kernels import schedule as _sched_mod
+
+    sched = _sched_mod.emission_schedule(spec, S)
+    starts = [0]
+    for m in range(S - 1):
+        if sched.clear_after[m]:
+            starts.append(m + 1)
+    return tuple(
+        (a, b) for a, b in zip(starts, list(starts[1:]) + [S])
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("spec", "S"))
+def _epoch_totals(words, spec, S: int):
+    """Per-(block, epoch) decoded byte counts from pass-1 descriptors."""
+    lens = jnp.where(
+        (words >> 29) == KIND_HOLE, 0, (words >> 17) & 0xFFF
+    )
+    cum = jnp.cumsum(lens.astype(jnp.int32), axis=1)
+    idx = jnp.asarray([b - 1 for (_a, b) in epoch_bounds(spec, S)])
+    ends = cum[:, idx]
+    starts = jnp.concatenate(
+        [jnp.zeros((cum.shape[0], 1), cum.dtype), ends[:, :-1]], axis=1
+    )
+    return ends - starts
+
+
+@functools.partial(
+    jax.jit, static_argnames=("Bp", "block_size", "n_parts"),
+)
+def _assemble_epochs(parts, cums, Bp: int, block_size: int, n_parts: int):
+    """Place per-epoch outputs at their per-lane offsets and sum.
+
+    parts: list of u8[N, R_e] epoch outputs (zero past each unit's total);
+    cums:  list of i32[N] output offsets.  Regions are disjoint, so the
+    shifted sum is exact placement — no gather/scatter anywhere.
+    """
+    from lzw_tpu.kernels.common import shift_columns_jax
+
+    N = parts[0].shape[0]
+    acc = jnp.zeros((Bp, N), jnp.uint8)
+    for e in range(n_parts):
+        p = parts[e].T  # (R_e, N) position-major
+        R_e = p.shape[0]
+        if R_e < Bp:
+            p = jnp.concatenate(
+                [p, jnp.zeros((Bp - R_e, N), jnp.uint8)], axis=0
+            )
+        elif R_e > Bp:  # bucketed bound past the block bound: all zeros there
+            p = p[:Bp]
+        sh = jnp.clip(cums[e], 0, Bp - 1)
+        acc = acc + shift_columns_jax(p, sh, fill=0)
+    return acc.T[:, :block_size]
+
+
+def decode_variable_epochs_run(payloads, counts, sched_arr, spec, S: int,
+                               block_size: int, interpret: bool = False,
+                               group: int = GROUP_VAR, cell: int = CELL,
+                               seg: int = 128, cell2: int = CELL,
+                               seg2: int = 256, group2: int = 2048):
+    """Epoch-split device half of the strict variable decode.
+
+    Same contract as :func:`decode_variable_device_run` (pass 1 + device
+    pass 2, returns (blocks, totals, errs, err_codes, data_ok)) but pass 2
+    runs one dispatch per dictionary epoch over (block, epoch) units, with
+    one small host sync for the per-epoch output bounds.
+    """
+    import numpy as np
+
+    N = payloads.shape[0]
+    if block_size > NARROW_BLOCK and group > 1024:
+        group = 1024  # pass-1 two-plane ring VMEM budget
+    group = max(128, min(group, N))
+    while N % group and group > 128:
+        group //= 2
+    cdev = counts.astype(jnp.int32) if isinstance(counts, jax.Array) \
+        else jnp.asarray(np.asarray(counts, np.int32))
+    words, stats, pair, dense, data_ok = _variable_pass1_from_payloads(
+        jnp.asarray(payloads), cdev, jnp.asarray(sched_arr), spec, S,
+        block_size, interpret, group, cell, seg,
+    )
+    totals, errs, err_codes = stats[:, 0], stats[:, 1], stats[:, 2]
+    te = _epoch_totals(words, spec, S)
+    te_np = np.asarray(te)  # the one host sync: N x n_epochs i32
+    bounds = epoch_bounds(spec, S)
+
+    Bp = ((block_size + cell2 - 1) // cell2) * cell2
+    parts, cums = [], []
+    cum_dev = jnp.cumsum(te, axis=1) - te  # exclusive per-lane offsets
+    budget = 118 << 20
+    for e, (a, b) in enumerate(bounds):
+        r_need = int(te_np[:, e].max()) if N else 0
+        if r_need > 0:
+            # Bucket the output bound (pow2 up to the 8192-round segment
+            # size, then whole segments): padding rounds are nearly free
+            # (empty scan windows), recompiles are not, and all >= 8192
+            # buckets share one compiled segment program.
+            if r_need <= 8192:
+                r_need = max(1 << (r_need - 1).bit_length(), cell2)
+            else:
+                r_need = -(-r_need // 8192) * 8192
+            r_need = min(r_need, ((Bp + 8191) // 8192) * 8192)
+            L = b - a
+            Ltab = ((max(L, 1) + seg2 - 1) // seg2) * seg2
+            sub_max = max(1, budget // (Ltab * 128 * 4 * 4))
+            sub_max = 1 << (sub_max.bit_length() - 1)
+            # The pair-table regroup only SPLITS sublanes, so pass 2 must
+            # not regroup UP past pass 1's group (r3 live find).
+            g2 = max(128, min(group2, sub_max * 128, group))
+            while N % g2 and g2 > 128:
+                g2 //= 2
+            out_e = decode_pass2_device(
+                dense[:, a:b], pair[:, a:b], jnp.clip(cdev - a, 0, L),
+                te[:, e], r_need, alphabet=spec.alphabet_size,
+                interpret=interpret, group=g2, cell=cell2, seg=seg2,
+                variable=False, first_free=spec.first_free_code,
+            )
+            parts.append(out_e)
+            cums.append(cum_dev[:, e])
+    if not parts:
+        out = jnp.zeros((N, block_size), jnp.uint8)
+    else:
+        out = _assemble_epochs(
+            tuple(parts), tuple(cums), Bp, block_size, len(parts)
+        )
+    return out, totals, errs, err_codes, data_ok
 
 
 # --------------------------------------------------------------------------- #
@@ -606,7 +756,8 @@ def decode_variable_all_device(payloads, plens, spec, block_size: int,
 # the data path); the hybrid remains the throughput default.
 
 
-def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False):
+def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False,
+                       first_free: int | None = None, bound_mode: int = 0):
     """Backwards chain-walk pass 2.  Both table reads are per-lane gathers
     at statically-known rows, expressed as row-matched sum-selects over the
     [min, max] target window of the lanes: word w's code is at row w, and
@@ -615,25 +766,56 @@ def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False):
     flavors the per-word epoch start rides the high bits of the codes
     matrix (packed by the caller from the static schedule) and is carried
     per lane through the chain — every chain node of a word resolves in
-    that word's epoch."""
-    first_free = alphabet + 2 if variable else FIRST_FREE
+    that word's epoch.
 
-    def kernel(codes_ref, pair_ref, meta_ref, out_ref, state_ref):
+    The epoch-split driver (:func:`decode_variable_epochs_run`) instead
+    slices streams at the static epoch boundaries and runs this kernel
+    with ``variable=False`` plus an explicit variable-flavor
+    ``first_free``: unit-local rows need no epoch carry, and both scan
+    windows are bounded by one epoch's table instead of the whole stream.
+
+    The walk state (word index, chain node, epoch row) enters and leaves
+    as arrays so the driver can split long walks into round-segments:
+    sub >= 4 instances MISCOMPUTE on this hardware once a single dispatch
+    runs >= ~16k rounds (r4 live find, deterministic, interpret correct —
+    third member of the shape-triggered miscompile family logged in
+    EVOLUTION.md); segments of <= 8192 rounds with state carried between
+    dispatches stay in the verified regime at full sublane count."""
+    if first_free is None:
+        first_free = alphabet + 2 if variable else FIRST_FREE
+
+    def kernel(codes_ref, pair_ref, sin_ref, out_ref, sout_ref, state_ref):
         c = pl.program_id(1)
+        last_cell = c == pl.num_programs(1) - 1
         sub = pair_ref.shape[2]
         cell = out_ref.shape[1]
 
         @pl.when(c == 0)
         def _init():
-            state_ref[0] = meta_ref[0, 0] - 1  # word index, walked down
-            state_ref[1] = jnp.full((sub, 128), -1, jnp.int32)  # chain node
-            state_ref[2] = jnp.zeros((sub, 128), jnp.int32)  # word epoch row
+            for r in range(3):
+                state_ref[r] = sin_ref[0, r]
 
         ROW0 = jax.lax.broadcasted_iota(jnp.int32, (seg, sub, 128), 0)
         BIG = jnp.int32(0x7FFFFFFF)
+        n_code_segs = codes_ref.shape[1] // seg
+        n_pair_segs = pair_ref.shape[1] // seg
 
-        def bounded(lo, hi):
+        def bounded(lo, hi, nsegs):
+            if bound_mode == 1:  # diagnostic: scan everything
+                return jnp.int32(0), jnp.int32(nsegs)
+            if bound_mode == 2:  # staged reduction (lanes, then sublanes)
+                return lo // seg, hi // seg + 1
             return lo // seg, hi // seg + 1
+
+        def _vmin(x):
+            if bound_mode == 2:
+                return jnp.min(jnp.min(x, axis=1), axis=0)
+            return jnp.min(x)
+
+        def _vmax(x):
+            if bound_mode == 2:
+                return jnp.max(jnp.max(x, axis=1), axis=0)
+            return jnp.max(x)
 
         def round_step(j, carry):
             w, cur, est = carry  # (sub, 128)
@@ -642,7 +824,7 @@ def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False):
             # Word table: code of word w is codes_ref row w.
             wt = jnp.where(need, w, 0)
             s_lo, s_hi = bounded(
-                jnp.min(jnp.where(need, w, BIG)), jnp.max(wt)
+                _vmin(jnp.where(need, w, BIG)), _vmax(wt), n_code_segs
             )
 
             def scan_words(s, acc):
@@ -664,7 +846,7 @@ def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False):
             # Pair entry of code c: row epoch_start + 1 + c - first_free.
             pt = jnp.where(look, est + 1 + cur - first_free, 0)
             p_lo, p_hi = bounded(
-                jnp.min(jnp.where(look, pt, BIG)), jnp.max(pt)
+                _vmin(jnp.where(look, pt, BIG)), _vmax(pt), n_pair_segs
             )
 
             def scan_pairs(s, acc):
@@ -693,18 +875,26 @@ def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False):
         state_ref[1] = cur
         state_ref[2] = est
 
+        @pl.when(last_cell)
+        def _dump():
+            for r in range(3):
+                sout_ref[0, r] = state_ref[r]
+
     return kernel
 
 
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "alphabet", "interpret", "group", "cell",
-                     "seg", "variable"),
+                     "seg", "variable", "first_free", "bound_mode",
+                     "r_seg_max"),
 )
 def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
                         alphabet: int = 256, interpret: bool = False,
                         group: int = 2048, cell: int = CELL,
-                        seg: int = 256, variable: bool = False):
+                        seg: int = 256, variable: bool = False,
+                        first_free: int | None = None, bound_mode: int = 0,
+                        r_seg_max: int = 8192):
     """All-device pass 2: copy-free chain walk -> decoded bytes.
 
     Args:
@@ -749,21 +939,41 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
         pair = pair.reshape(G, S, sub, 128)
 
     x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
-    meta = n_codes.reshape(G, 1, sub, 128)
+    w0 = (n_codes.astype(jnp.int32) - 1).reshape(G, sub, 128)
+    state = jnp.stack(
+        [w0, jnp.full((G, sub, 128), -1, jnp.int32),
+         jnp.zeros((G, sub, 128), jnp.int32)], axis=1,
+    )
 
-    def run_groups(xg, pairg, metag, Gi):
+    # sub >= 4 instances MISCOMPUTE once a single dispatch runs >= ~16k
+    # rounds (r4 live find; deterministic, interpret correct — see
+    # EVOLUTION.md "Hardware miscompile log" #3).  Split the walk into
+    # round-segments of <= 8192, carrying the walk state between
+    # dispatches; all segments share one compiled program.
+    R_SEG = r_seg_max
+    assert R_SEG % cell == 0
+    r_seg = min(R, R_SEG)
+    n_rseg = -(-R // r_seg)
+    R = n_rseg * r_seg
+
+    def run_groups(xg, pairg, sg, Gi):
         return pl.pallas_call(
-            _make_pass2_kernel(seg, alphabet, variable),
-            grid=(Gi, R // cell),
+            _make_pass2_kernel(seg, alphabet, variable, first_free,
+                               bound_mode),
+            grid=(Gi, r_seg // cell),
             in_specs=[
                 pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
                 pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
-                pl.BlockSpec((1, 1, sub, 128), lambda g, c: (g, 0, 0, 0)),
+                pl.BlockSpec((1, 3, sub, 128), lambda g, c: (g, 0, 0, 0)),
             ],
-            out_specs=pl.BlockSpec(
-                (1, cell, sub, 128), lambda g, c: (g, c, 0, 0)
-            ),
-            out_shape=jax.ShapeDtypeStruct((Gi, R, sub, 128), jnp.int32),
+            out_specs=[
+                pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+                pl.BlockSpec((1, 3, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Gi, r_seg, sub, 128), jnp.int32),
+                jax.ShapeDtypeStruct((Gi, 3, sub, 128), jnp.int32),
+            ],
             scratch_shapes=[pltpu.VMEM((3, sub, 128), jnp.int32)],
             compiler_params=pltpu.CompilerParams(
                 # v5e VMEM is 128 MB; the two S x sub x 128 tables are
@@ -772,7 +982,7 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
                 vmem_limit_bytes=126 * 1024 * 1024,
             ),
             interpret=interpret,
-        )(xg, pairg, metag)
+        )(xg, pairg, sg)
 
     # Grids with many groups MISCOMPUTE on this hardware (same
     # shape-triggered XLA/relay issue as the chunked encoder at G >= 3,
@@ -780,17 +990,22 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
     # Run super-groups of at most 2 grid groups through lax.map — the
     # G <= 2 shape is the one verified correct on the chip.
     g0 = G if G <= 2 else (2 if G % 2 == 0 else 1)
-    if g0 == G:
-        rev = run_groups(x, pair, meta, G)
-    else:
-        nsg = G // g0
-        rev = jax.lax.map(
-            lambda a: run_groups(a[0], a[1], a[2], g0),
-            (x.reshape(nsg, g0, S, sub, 128),
-             pair.reshape(nsg, g0, S, sub, 128),
-             meta.reshape(nsg, g0, 1, sub, 128)),
-        )
-        rev = rev.reshape(G, R, sub, 128)
+    rev_parts = []
+    for _si in range(n_rseg):
+        if g0 == G:
+            rev_i, state = run_groups(x, pair, state, G)
+        else:
+            nsg = G // g0
+            rev_i, state = jax.lax.map(
+                lambda a: run_groups(a[0], a[1], a[2], g0),
+                (x.reshape(nsg, g0, S, sub, 128),
+                 pair.reshape(nsg, g0, S, sub, 128),
+                 state.reshape(nsg, g0, 3, sub, 128)),
+            )
+            rev_i = rev_i.reshape(G, r_seg, sub, 128)
+            state = state.reshape(G, 3, sub, 128)
+        rev_parts.append(rev_i)
+    rev = rev_parts[0] if n_rseg == 1 else jnp.concatenate(rev_parts, axis=1)
 
     # The emission stream is the output reversed per lane: shift each lane
     # down by (R - total) so its bytes occupy the tail, then a uniform flip

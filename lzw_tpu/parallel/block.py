@@ -92,6 +92,7 @@ class BlockParallelCodec:
         mesh: Mesh | None = None,
         axis: str = "data",
         use_pallas: bool | None = None,
+        verify: bool | None = None,
     ):
         spec.validate()
         if block_size is None:
@@ -124,6 +125,13 @@ class BlockParallelCodec:
 
         self.use_pallas = use_pallas and block_size % _CELL == 0
         self._pallas_decode_ok = self.use_pallas and block_size <= _DEC_MAX
+        # Round-trip self-check of one sampled block per encode batch.  On
+        # by default whenever the hardware kernels are in the path: with
+        # shape-triggered miscompiles worked around in this pipeline
+        # (EVOLUTION.md "Hardware miscompile log"), a NEW shape computing
+        # garbage should raise VerificationError, not ship bad payloads.
+        # Costs one host-side block decode (~1 block) per encode() call.
+        self.verify = self.use_pallas if verify is None else bool(verify)
 
         ax = self.axis
 
@@ -246,7 +254,41 @@ class BlockParallelCodec:
         bufs = np.asarray(bufs)
         n_bytes = np.asarray(n_bytes)
         payloads = [bufs[i, : n_bytes[i]].tobytes() for i in range(n_blocks)]
+        if self.verify and payloads:
+            self._verify_sample(data, payloads)
         return framing.pack_frame(self.spec, self.block_size, len(data), payloads)
+
+    def _verify_sample(self, data: bytes, payloads: list[bytes]) -> None:
+        """Decode-check the largest payload of the batch against its source.
+
+        The largest payload exercises the widest table/width range; the
+        check decodes it on the host (native runtime when available, the
+        scalar oracle otherwise) and raises :class:`VerificationError` on
+        any mismatch.
+        """
+        from lzw_tpu.spec import LzwError, VerificationError
+
+        i = max(range(len(payloads)), key=lambda k: len(payloads[k]))
+        bs = self.block_size
+        expect = data[i * bs : (i + 1) * bs]
+        rt = self._native()
+        try:
+            if rt is not None:
+                got = rt.decode(payloads[i], self.spec)
+            else:
+                from lzw_tpu.ops import reference as _oracle
+
+                got = _oracle.decode_bytes(payloads[i], self.spec)
+        except LzwError as exc:
+            raise VerificationError(i, f"decode failed: {exc}") from exc
+        if got != expect:
+            k = next(
+                (j for j, (a, b) in enumerate(zip(got, expect)) if a != b),
+                min(len(got), len(expect)),
+            )
+            raise VerificationError(
+                i, f"{len(got)}/{len(expect)} bytes, first diff at {k}"
+            )
 
     def decode(self, container: bytes) -> bytes:
         """Decompress an LZWT container (order-preserving gather)."""

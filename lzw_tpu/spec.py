@@ -33,6 +33,7 @@ __all__ = [
     "UnexpectedCodeError",
     "MissingClearCodeError",
     "TruncatedStreamError",
+    "VerificationError",
     "MAX_WIDTH",
     "MAX_TABLE_SIZE",
     "MAX_WORD_LEN",
@@ -126,6 +127,26 @@ class TruncatedStreamError(DecodingError):
 
     def __init__(self):
         super().__init__("Compressed stream ended unexpectedly")
+
+
+class VerificationError(EncodingError):
+    """An encoded payload failed its on-the-fly round-trip self-check.
+
+    Raised by the container encoder's ``verify`` mode, which decode-checks a
+    sampled block per batch on the host: with two known shape-triggered
+    hardware miscompiles worked around in the kernels (EVOLUTION.md), a new
+    shape miscomputing should be a loud error, not silent corruption.  The
+    reference's analog is its always-asserted determinism posture
+    (`encoder.rs:715-737`).
+    """
+
+    def __init__(self, block_index: int, detail: str = ""):
+        self.block_index = block_index
+        msg = f"Encoded payload failed round-trip verification at block " \
+              f"{block_index}"
+        if detail:
+            msg += f" ({detail})"
+        super().__init__(msg)
 
 
 @dataclasses.dataclass(frozen=True)
