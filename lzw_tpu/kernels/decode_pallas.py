@@ -638,9 +638,9 @@ def _epoch_totals(words, spec, S: int):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("Bp", "block_size", "n_parts"),
+    jax.jit, static_argnames=("Bp", "n_parts"),
 )
-def _assemble_epochs(parts, cums, Bp: int, block_size: int, n_parts: int):
+def _assemble_epochs_acc(parts, cums, Bp: int, n_parts: int):
     """Place per-epoch outputs at their per-lane offsets and sum.
 
     parts: list of u8[N, R_e] epoch outputs (zero past each unit's total);
@@ -662,14 +662,27 @@ def _assemble_epochs(parts, cums, Bp: int, block_size: int, n_parts: int):
             p = p[:Bp]
         sh = jnp.clip(cums[e], 0, Bp - 1)
         acc = acc + shift_columns_jax(p, sh, fill=0)
+    return acc
+
+
+@functools.partial(jax.jit, static_argnames=("block_size",))
+def _assemble_epochs_t(acc, block_size: int):
     return acc.T[:, :block_size]
+
+
+def _assemble_epochs(parts, cums, Bp: int, block_size: int, n_parts: int):
+    """Two dispatches, NOT one jit: per-lane shifts fused with a trailing
+    transpose MISCOMPILE on this hardware at >= ~16k rows (the r4
+    shift+flip+transpose find — see decode_pass2_device's docstring)."""
+    acc = _assemble_epochs_acc(tuple(parts), tuple(cums), Bp, n_parts)
+    return _assemble_epochs_t(acc, block_size)
 
 
 def decode_variable_epochs_run(payloads, counts, sched_arr, spec, S: int,
                                block_size: int, interpret: bool = False,
                                group: int = GROUP_VAR, cell: int = CELL,
                                seg: int = 128, cell2: int = CELL,
-                               seg2: int = 256, group2: int = 2048):
+                               seg2: int = 128, group2: int = 2048):
     """Epoch-split device half of the strict variable decode.
 
     Same contract as :func:`decode_variable_device_run` (pass 1 + device
@@ -803,9 +816,12 @@ def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False,
         def bounded(lo, hi, nsegs):
             if bound_mode == 1:  # diagnostic: scan everything
                 return jnp.int32(0), jnp.int32(nsegs)
-            if bound_mode == 2:  # staged reduction (lanes, then sublanes)
-                return lo // seg, hi // seg + 1
             return lo // seg, hi // seg + 1
+
+        # bound_mode 3/4: timing diagnostics — skip the word/pair scan
+        # entirely (results are WRONG; used to attribute per-round cost).
+        skip_words = bound_mode == 3
+        skip_pairs = bound_mode == 4
 
         def _vmin(x):
             if bound_mode == 2:
@@ -833,7 +849,10 @@ def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False,
                 return acc + jnp.sum(jnp.where(hit, seg_codes, 0), axis=0)
 
             zero = jnp.zeros((sub, 128), jnp.int32)
-            head = jax.lax.fori_loop(s_lo, s_hi, scan_words, zero)
+            if skip_words:
+                head = zero
+            else:
+                head = jax.lax.fori_loop(s_lo, s_hi, scan_words, zero)
             if variable:
                 est = jnp.where(need, head >> 12, est)
                 head = head & 0xFFF
@@ -856,7 +875,10 @@ def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False,
                     jnp.where(hit, seg_rows & 0xFFFFF, 0), axis=0
                 )
 
-            pd = jax.lax.fori_loop(p_lo, p_hi, scan_pairs, zero)
+            if skip_pairs:
+                pd = zero
+            else:
+                pd = jax.lax.fori_loop(p_lo, p_hi, scan_pairs, zero)
 
             byte = jnp.where(root, cur, pd & 0xFF)
             out_ref[0, j] = jnp.where(active, byte, 0)
@@ -883,12 +905,6 @@ def _make_pass2_kernel(seg: int, alphabet: int, variable: bool = False,
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("block_size", "alphabet", "interpret", "group", "cell",
-                     "seg", "variable", "first_free", "bound_mode",
-                     "r_seg_max"),
-)
 def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
                         alphabet: int = 256, interpret: bool = False,
                         group: int = 2048, cell: int = CELL,
@@ -907,7 +923,47 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
         codes+pair tables live in VMEM).
       n_codes/totals: i32[N].
     Returns u8[N, block_size] decoded blocks (zero past totals).
+
+    TWO dispatches, NOT one jit: fusing the per-lane shift with the final
+    flip/transpose MISCOMPILES on this hardware at R >= ~16k rows
+    (r4 live find: deterministic period-1312 corruption in an XLA-only
+    shift+flip+transpose composite, no pallas involved; an
+    optimization_barrier does NOT fix it, separate programs do — the same
+    containment as encode_pack_variable_tpu's split).  Wrapping this
+    function in an outer jax.jit would re-fuse the stages; don't.
     """
+    N = codes.shape[0]
+    R0 = ((block_size + cell - 1) // cell) * cell
+    r_seg = min(R0, r_seg_max)
+    R = (-(-R0 // r_seg)) * r_seg
+    shifted = _pass2_walk_shift(
+        codes, pair, n_codes, totals, block_size, alphabet, interpret,
+        group, cell, seg, variable, first_free, bound_mode, r_seg_max,
+    )
+    return _pass2_finalize(shifted, N=N, R=R, block_size=block_size)
+
+
+@functools.partial(jax.jit, static_argnames=("N", "R", "block_size"))
+def _pass2_finalize(shifted, N: int, R: int, block_size: int):
+    """Dispatch 2 of pass 2: flip to byte order and lay out per block."""
+    out = jnp.flip(shifted, axis=1)
+    out = out.transpose(0, 2, 1).reshape(N, R)[:, :block_size]
+    return out.astype(jnp.uint8)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("block_size", "alphabet", "interpret", "group", "cell",
+                     "seg", "variable", "first_free", "bound_mode",
+                     "r_seg_max"),
+)
+def _pass2_walk_shift(codes, pair, n_codes, totals, block_size: int,
+                      alphabet: int = 256, interpret: bool = False,
+                      group: int = 2048, cell: int = CELL,
+                      seg: int = 256, variable: bool = False,
+                      first_free: int | None = None, bound_mode: int = 0,
+                      r_seg_max: int = 8192):
+    """Dispatch 1 of pass 2: chain walk + per-lane tail shift."""
     import numpy as np  # noqa: F401  (kept for parity with sibling wrappers)
 
     N, S = codes.shape
@@ -1014,9 +1070,6 @@ def decode_pass2_device(codes, pair, n_codes, totals, block_size: int,
 
     rev = rev.reshape(G, R, group)
     shifts = (R - totals.reshape(G, group)).astype(jnp.int32)
-    shifted = jax.vmap(lambda v, s: shift_columns_jax(v, s, fill=0))(
+    return jax.vmap(lambda v, s: shift_columns_jax(v, s, fill=0))(
         rev, shifts
     )
-    out = jnp.flip(shifted, axis=1)
-    out = out.transpose(0, 2, 1).reshape(N, R)[:, :block_size]
-    return out.astype(jnp.uint8)
