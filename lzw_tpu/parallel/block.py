@@ -31,6 +31,7 @@ except ImportError:  # pragma: no cover
 from lzw_tpu.ops import bitpack, decode as _decode, encode as _encode
 from lzw_tpu.parallel import framing
 from lzw_tpu.spec import (
+    DecodingError,
     LzwSpec,
     MissingClearCodeError,
     TruncatedStreamError,
@@ -307,11 +308,21 @@ class BlockParallelCodec:
             out = self._decode_variable_device(header, payloads)
             if out is not None:
                 return out
-            # Non-strict stream (foreign early-CLEAR data): threaded native
-            # runtime fallback.
-            out = self._native().decode_blocks(
-                [bytes(p) for p in payloads], self.spec, self.block_size
-            )
+            # Non-strict stream (foreign early-CLEAR data): resegment at
+            # the CLEARs on the host and decode the strict per-epoch
+            # sub-streams on the device (`decoder.rs:222-227` parity via
+            # kernels/nonstrict.py); threaded native runtime as the last
+            # resort.
+            try:
+                out = self._decode_variable_nonstrict(header, payloads)
+            except DecodingError:
+                raise
+            except Exception:
+                out = None
+            if out is None:
+                out = self._native().decode_blocks(
+                    [bytes(p) for p in payloads], self.spec, self.block_size
+                )
             if len(out) != header.orig_size:
                 raise framing.FramingError(
                     f"decoded {len(out)} bytes, container claims "
@@ -405,6 +416,25 @@ class BlockParallelCodec:
                 f"decoded {len(out)} bytes, container claims {header.orig_size}"
             )
         return out
+
+    def _decode_variable_nonstrict(self, header, payloads):
+        """Foreign early-CLEAR blocks: host resegmentation at the CLEARs +
+        strict per-epoch device decode (`kernels/nonstrict.py`)."""
+        from lzw_tpu.kernels.nonstrict import (
+            decode_variable_nonstrict_device,
+        )
+
+        n = header.n_blocks
+        pb = max(len(p) for p in payloads)
+        mat = np.zeros((n, pb), np.uint8)
+        plens = np.zeros(n, np.int64)
+        for i, p in enumerate(payloads):
+            mat[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        parts = decode_variable_nonstrict_device(
+            mat, plens, self.spec, self.block_size
+        )
+        return b"".join(parts)
 
     def _decode_variable_device(self, header, payloads):
         """Strict-schedule device decode; None when any block is non-strict."""

@@ -1,0 +1,99 @@
+"""Standalone repro: chunked scan+pallas miscompile at G >= 3 (r3 find).
+
+The chunked variable/fixed encoder carries its dictionary through a
+lax.scan over per-chunk pallas launches.  Compiled with G >= 3 grid
+groups in one program, the pipeline computes IDENTICAL WRONG output in
+every group on the chip (raw kernel slots verified correct un-jitted;
+interpret mode correct) — so production runs super-groups of <= 2 via
+lax.map (`encode_pallas._run_encode_kernel_chunked`).
+
+This script calls the internal `_scan_chunks` directly at G = 4
+(bypassing the guard) and compares against the guarded production path
+on identical data.
+
+r4 NOTE: the bug did NOT reproduce at the shapes this script can fit
+on the dev chip (G=3/group=1024/B=64KiB and G=4/group=512/B=16KiB both
+computed correctly; the r3 trigger shape went unrecorded and G=3 at
+group=2048 OOMs here).  Either the toolchain moved, the trigger needs
+memory pressure, or the r3 symptom's real culprit was the same XLA
+shift/flip fusion family later root-caused in r4
+(repro_miscompile_shift_flip.py) via `_compact_grouped_codes`'s roll
+cascades.  The lax.map workaround is retained CONSERVATIVELY; this
+script exits 0 in both the reproduced and not-reproduced states and
+prints which one holds.
+"""
+
+import pathlib
+import sys
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parent.parent))
+
+import numpy as np
+import jax.numpy as jnp
+
+from lzw_tpu.kernels import encode_pallas as ep
+from lzw_tpu.spec import LzwSpec
+from lzw_tpu.utils.cache import enable_compilation_cache
+
+
+def main():
+    enable_compilation_cache()
+    spec = LzwSpec.gif(7)
+    spec_key = (
+        spec.first_free_code,
+        spec.max_code_value,
+        4096 - spec.strategy.increment,
+    )
+    B, N, group = 65536, 3072, 1024  # G = 3
+    chunk, cell, seg = 2048, 512, 128
+    rng = np.random.default_rng(0)
+    seed = jnp.asarray(rng.integers(0, 128, 1 << 22).astype(np.uint8))
+    np.asarray(seed[:4])  # upload once; tile device-side (relay is slow)
+    blocks = jnp.tile(seed, -(-(N * B) // seed.size))[: N * B].reshape(N, B)
+    lens = np.full(N, B, np.int32)
+
+    # Production (guarded) path: lax.map over super-groups of <= 2.
+    dense_ok, counts_ok, errs_ok, _ = ep._run_encode_kernel_chunked(
+        blocks, jnp.asarray(lens), B, spec_key,
+        False, group, cell, seg, chunk,
+    )
+    ok_np = np.asarray(dense_ok)
+    assert not np.asarray(errs_ok).any()
+
+    # Unguarded: one program with all G = 4 grid groups (the bug shape).
+    sub = group // 128
+    G = N // group
+    slots = B + cell
+    n_chunks = -(-slots // chunk)
+    total = n_chunks * chunk
+    R = 4096 + chunk
+    x = blocks.astype(jnp.int32)
+    x = x.reshape(G, sub, 128, B).transpose(0, 3, 1, 2)
+    x = jnp.concatenate(
+        [x, jnp.zeros((G, total - B, sub, 128), jnp.int32)], axis=1
+    )
+    xs = x.reshape(G, n_chunks, chunk, sub, 128).transpose(1, 0, 2, 3, 4)
+    l = jnp.asarray(lens).reshape(G, 1, sub, 128)
+    codes, errs = ep._scan_chunks(
+        xs, l, G, sub, n_chunks, chunk, cell, seg,
+        ep._clamp_sseg(None, cell), spec_key, R, total,
+        False,
+    )
+    dense_g4, counts_g4, _, _ = ep._compact_grouped_codes(
+        codes, errs, G, total, group, N
+    )
+    g4_np = np.asarray(dense_g4)
+
+    nbad = int((g4_np != ok_np).sum())
+    if nbad:
+        print(f"G={G} direct: WRONG ({nbad} slots); guarded: ok — "
+              f"bug REPRODUCED, keep the lax.map workaround")
+    else:
+        print(f"G={G} direct: ok — not reproduced at this shape "
+              f"(r3 trigger shape unrecorded; workaround retained "
+              f"conservatively)")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
