@@ -252,14 +252,18 @@ def main() -> None:
 
                 def _devc(p, c):
                     out, tot, errs_, _, ok_ = (
-                        _dpv.decode_variable_device_run(
+                        _dpv.decode_variable_epochs_run(
                             p, c, sched_v, gspec, S_v, BV
                         )
                     )
                     return out, tot
 
                 out_v, tot_v = _devc(pay_v, cdev)
-                np.asarray(tot_v[:4])
+                # Round-trip gate on EVERY row of the unrolled batch (the
+                # r4 shift/flip fusion find showed sparse corruption can
+                # hide from single-row asserts).
+                assert (np.asarray(out_v) == np.asarray(dbv)).all(), \
+                    "var decode mismatch"
                 bvd = float("inf")
                 for rep in range(2):
                     # Roll whole rows on device (payloads/counts stay
@@ -271,7 +275,7 @@ def main() -> None:
                     out_v, tot_v = _devc(pv, cv)
                     np.asarray(tot_v[:4])
                     bvd = min(bvd, time.perf_counter() - t0)
-                # Round-trip gate: after the last roll (shift 2), decoded
+                # And a spot gate after the last roll (shift 2): decoded
                 # row 1 must equal source block (1 - 2) mod Nv.
                 k = (1 - 2) % Nv
                 assert (np.asarray(out_v[1]) ==

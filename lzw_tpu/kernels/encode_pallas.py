@@ -60,9 +60,10 @@ CHUNK = 2048  # steps per launch of the chunked driver (the working table is
 # VMEM at 16 sublanes, and measures within noise of 4096 on the corpora)
 CELL = 512  # steps per grid cell (VMEM streaming tile)
 SEG = 512  # scan segment rows (dense-table scan)
-SSEG = 128  # stage-scan segment rows: the stage holds only rows [0, j) live
+SSEG = 64  # stage-scan segment rows: the stage holds only rows [0, j) live
 # at step j, so scanning it in smaller segments bounded by j skips the dead
-# tail of the 512-row buffer (~1/4 of all scan work at CELL=512)
+# tail of the 512-row buffer; r4 chip sweep: 64 beats the old 128 default
+# by ~3% on fixed-12 (242 vs 236 MiB/s) and both clear 2x the reference
 # Table hole: entry code fields are always >= 256 (first dynamic code), so a
 # zero word can never satisfy the range test below.
 HOLE = 0

@@ -24,15 +24,16 @@ from lzw_tpu.spec import LzwSpec, MAX_WIDTH, TruncatedStreamError
 __all__ = ["parse_epochs", "decode_variable_nonstrict_device"]
 
 
-def _shift_rows_to_bit(mat_padded, bit_offs, little: bool, out_bytes: int):
-    """Per-row bit-shift: row i of the result starts at bit ``bit_offs[i]``
-    of row i of ``mat_padded`` (int16/32 byte values, zero padded)."""
-    N = mat_padded.shape[0]
+def _shift_rows_to_bit(mat_padded, rows, bit_offs, little: bool,
+                       out_bytes: int):
+    """Bit-realign: row j of the result starts at bit ``bit_offs[j]`` of
+    ``mat_padded[rows[j]]`` (int32 byte values, zero padded).  Gathers only
+    the ``out_bytes`` window — never copies whole payload rows."""
     b0 = (bit_offs >> 3).astype(np.int64)
     sh = (bit_offs & 7).astype(np.int64)
     idx = b0[:, None] + np.arange(out_bytes + 1)[None, :]
     idx = np.minimum(idx, mat_padded.shape[1] - 1)
-    g = np.take_along_axis(mat_padded, idx, axis=1)
+    g = mat_padded[rows[:, None], idx]
     if little:
         out = (g[:, :-1] >> sh[:, None]) | (g[:, 1:] << (8 - sh[:, None]))
     else:
@@ -155,37 +156,58 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
             raise TruncatedStreamError()
         rows = np.nonzero(~done)[0]
         shifted = _shift_rows_to_bit(
-            mat[rows], bit_off[rows], little, max_bytes
+            mat, rows, bit_off[rows], little, max_bytes
         )
-        vals = _unpack_epoch(shifted, spec, S_e)  # (n, S_e + 1)
-        n = len(rows)
-        # Terminator search over slots [0, S_e).  Slot S_e sits PAST the
-        # schedule's mandatory table-full CLEAR (offs jumps the 12-bit
-        # gap), so a full epoch terminates implicitly: advance by
-        # offs[S_e], which already includes that CLEAR.
-        sl = vals[:, :S_e]
-        slot_end = bit_off[rows, None] + offs[None, 1 : S_e + 1]
-        in_stream = slot_end <= bit_lim[rows, None]
-        is_term = ((sl == clear) | (sl == eoi)) & in_stream
-        has_term = is_term.any(axis=1)
-        full = (~has_term) & (bit_off[rows] + offs[S_e] <= bit_lim[rows])
-        if not (has_term | full).all():
-            raise TruncatedStreamError()
-        k = np.where(has_term, is_term.argmax(axis=1), S_e).astype(np.int64)
-        term_val = np.where(
-            has_term, sl[np.arange(n), np.minimum(k, S_e - 1)], clear
-        )
-        # Record this epoch (k may be 0 for CLEAR CLEAR / CLEAR EOI runs).
-        owners.append(rows.astype(np.int64))
-        counts.append(k.copy())
-        sel = np.arange(S_e)[None, :] < k[:, None]
-        denses.append(np.where(sel, sl, 0).copy())
-        # Advance past the terminator (implicit-full: offs[S_e] includes
-        # the mandatory CLEAR already).
-        adv = np.where(has_term, offs[k] + widths[k], offs[S_e])
-        bit_off[rows] = bit_off[rows] + adv
-        fin = has_term & (term_val == eoi)
-        done[rows[fin]] = True
+
+        def subset(g_rows, V, L, allow_full):
+            """One epoch for streams ``g_rows`` with unpacked slot values
+            ``V`` covering [0, L].  Slot S_e sits PAST the schedule's
+            mandatory table-full CLEAR (offs jumps the 12-bit gap), so a
+            full epoch terminates implicitly: advance by offs[S_e], which
+            already includes that CLEAR."""
+            m = len(g_rows)
+            sl = V[:, :L]
+            slot_end = bit_off[g_rows, None] + offs[None, 1 : L + 1]
+            is_term = (((sl == clear) | (sl == eoi))
+                       & (slot_end <= bit_lim[g_rows, None]))
+            has_term = is_term.any(axis=1)
+            if allow_full:
+                fullm = (~has_term) & (
+                    bit_off[g_rows] + offs[S_e] <= bit_lim[g_rows]
+                )
+                if not (has_term | fullm).all():
+                    raise TruncatedStreamError()
+            k = np.where(
+                has_term, is_term.argmax(axis=1), S_e
+            ).astype(np.int64)
+            term_val = np.where(
+                has_term, sl[np.arange(m), np.minimum(k, L - 1)], clear
+            )
+            # Record this epoch (k may be 0 for CLEAR CLEAR runs).
+            owners.append(g_rows.astype(np.int64))
+            counts.append(k)
+            sel = np.arange(L)[None, :] < k[:, None]
+            denses.append(np.where(sel, sl, 0))
+            adv = np.where(has_term, offs[k] + widths[k], offs[S_e])
+            bit_off[g_rows] = bit_off[g_rows] + adv
+            fin = has_term & (term_val == eoi)
+            done[g_rows[fin]] = True
+
+        # Two-phase unpack: most foreign epochs terminate within ~1k
+        # codes, so a quick prefix pass resolves them at prefix width and
+        # only the stragglers pay the full table-bound unpack.
+        Lq = min(1024, S_e)
+        vq = _unpack_epoch(shifted, spec, Lq)
+        endq = bit_off[rows, None] + offs[None, 1 : Lq + 1]
+        termq = (((vq[:, :Lq] == clear) | (vq[:, :Lq] == eoi))
+                 & (endq <= bit_lim[rows, None])).any(axis=1)
+        qi = np.nonzero(termq)[0]
+        fi = np.nonzero(~termq)[0]
+        if len(qi):
+            subset(rows[qi], vq[qi], Lq, False)
+        if len(fi):
+            vf = _unpack_epoch(shifted[fi], spec, S_e)
+            subset(rows[fi], vf, S_e, True)
 
     if not owners:
         U = 0
@@ -194,7 +216,12 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
                 np.zeros(0, np.int64), S_pad)
     owner = np.concatenate(owners)
     cnt = np.concatenate(counts)
-    dense = np.concatenate(denses, axis=0)
+    W = max(d.shape[1] for d in denses)
+    dense = np.concatenate(
+        [d if d.shape[1] == W
+         else np.pad(d, ((0, 0), (0, W - d.shape[1]))) for d in denses],
+        axis=0,
+    )
     # Order sub-streams by (owner, generation): generations were appended
     # in order, and concatenation preserves per-owner order under a stable
     # sort on owner.
@@ -211,21 +238,29 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
 
 def decode_variable_nonstrict_device(payloads, plens, spec: LzwSpec,
                                      block_size: int,
-                                     interpret: bool = False):
+                                     interpret: bool = False,
+                                     stage_times: dict | None = None):
     """Device decode of foreign early-CLEAR streams via resegmentation.
 
     Returns a list of N decoded ``bytes`` (one per input stream).  Device
     work is the unchanged strict pass-1/pass-2 pipeline over the epoch
     sub-streams; host work is the vectorized epoch parse plus the final
-    per-stream concatenation.
+    per-stream concatenation.  ``stage_times`` (optional dict) receives
+    parse_s / upload_s / device_s so benches can report the codec apart
+    from the host link.
     """
+    import time as _time
+
     import jax.numpy as jnp
 
     from lzw_tpu.kernels import decode_pallas as dp
     from lzw_tpu.kernels import schedule as sched_mod
 
     N = payloads.shape[0]
+    _t0 = _time.perf_counter()
     dense, cnt, owner, S_pad = parse_epochs(payloads, plens, spec)
+    if stage_times is not None:
+        stage_times["parse_s"] = _time.perf_counter() - _t0
     U = dense.shape[0]
     if U == 0:
         return [b""] * N
@@ -242,9 +277,16 @@ def decode_variable_nonstrict_device(payloads, plens, spec: LzwSpec,
     sched_arr[0, :] = (sched.nxt_of[:S_pad] - 1).astype(np.int32)
     sched_arr[1, :] = sched.epoch_start[:S_pad].astype(np.int32)
 
+    _t0 = _time.perf_counter()
     cdev = jnp.asarray(cnt.astype(np.int32))
+    dense_dev = jnp.asarray(dense)
+    sched_dev = jnp.asarray(sched_arr)
+    np.asarray(dense_dev[0, :2])  # upload fence for stage timing
+    if stage_times is not None:
+        stage_times["upload_s"] = _time.perf_counter() - _t0
+    _t0 = _time.perf_counter()
     words, stats, pair = dp._variable_pass1(
-        jnp.asarray(dense), cdev, jnp.asarray(sched_arr), spec,
+        dense_dev, cdev, sched_dev, spec,
         block_size, interpret, group, dp.CELL, 128,
     )
     totals, errs, err_codes = stats[:, 0], stats[:, 1], stats[:, 2]
@@ -262,11 +304,14 @@ def decode_variable_nonstrict_device(payloads, plens, spec: LzwSpec,
     else:
         r_need = -(-r_need // 8192) * 8192
     out = dp.decode_pass2_device(
-        jnp.asarray(dense), pair, cdev, totals, min(r_need, Bp),
+        dense_dev, pair, cdev, totals, min(r_need, Bp),
         alphabet=spec.alphabet_size, interpret=interpret, group=group,
         cell=dp.CELL, seg=128, variable=False,
         first_free=spec.first_free_code,
     )
+    np.asarray(out[0, :2])  # device fence (the bulk pull below is the link)
+    if stage_times is not None:
+        stage_times["device_s"] = _time.perf_counter() - _t0
     out_np = np.asarray(out)[:U]
     res: list[bytes] = []
     pos = 0

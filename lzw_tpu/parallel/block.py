@@ -31,7 +31,6 @@ except ImportError:  # pragma: no cover
 from lzw_tpu.ops import bitpack, decode as _decode, encode as _encode
 from lzw_tpu.parallel import framing
 from lzw_tpu.spec import (
-    DecodingError,
     LzwSpec,
     MissingClearCodeError,
     TruncatedStreamError,
@@ -303,26 +302,23 @@ class BlockParallelCodec:
         if header.n_blocks == 0:
             return b""
 
-        if (self.spec.variable and self._pallas_decode_ok
-                and self._native() is not None):
+        if self.spec.variable and self._pallas_decode_ok:
             out = self._decode_variable_device(header, payloads)
             if out is not None:
                 return out
-            # Non-strict stream (foreign early-CLEAR data): resegment at
-            # the CLEARs on the host and decode the strict per-epoch
-            # sub-streams on the device (`decoder.rs:222-227` parity via
-            # kernels/nonstrict.py); threaded native runtime as the last
-            # resort.
-            try:
-                out = self._decode_variable_nonstrict(header, payloads)
-            except DecodingError:
-                raise
-            except Exception:
-                out = None
-            if out is None:
+            # Non-strict stream (foreign early-CLEAR data): the threaded
+            # native runtime is the fastest route for heavily-spliced
+            # streams (the host epoch parse scales with CLEAR count);
+            # without it, resegment at the CLEARs and decode the strict
+            # per-epoch sub-streams on the device (`decoder.rs:222-227`
+            # parity via kernels/nonstrict.py — measured as the
+            # tpu-nonstrict rows in benchmarks/results_r4.jsonl).
+            if self._native() is not None:
                 out = self._native().decode_blocks(
                     [bytes(p) for p in payloads], self.spec, self.block_size
                 )
+            else:
+                out = self._decode_variable_nonstrict(header, payloads)
             if len(out) != header.orig_size:
                 raise framing.FramingError(
                     f"decoded {len(out)} bytes, container claims "
@@ -437,9 +433,16 @@ class BlockParallelCodec:
         return b"".join(parts)
 
     def _decode_variable_device(self, header, payloads):
-        """Strict-schedule device decode; None when any block is non-strict."""
+        """Strict-schedule device decode; None when any block is non-strict.
+
+        With the native runtime loaded, pass 2 is its threaded
+        ``apply_words`` (the fastest measured route, the tpu-hybrid rows);
+        without it, pass 2 is the all-device epoch-split chain walk
+        (tpu-hbm-64k rows) — the container has no hard native dependency.
+        """
         from lzw_tpu.kernels.decode_pallas import (
             GROUP_VAR, decode_pass1_variable_tpu,
+            decode_variable_all_device,
         )
 
         n = header.n_blocks
@@ -450,23 +453,48 @@ class BlockParallelCodec:
         for i, p in enumerate(payloads):
             mat[i, : len(p)] = np.frombuffer(p, np.uint8)
             plens[i] = len(p)
-        words, counts, totals, errs, err_codes, strict, _ = (
-            decode_pass1_variable_tpu(mat, plens, self.spec, self.block_size)
-        )
-        if not strict[:n].all():
-            return None
-        errs = np.asarray(errs)[:n]
-        if errs.any():
-            i = int(np.argmax(errs != 0))
-            self._raise_decode(
-                _decode.ERR_UNEXPECTED_CODE, int(np.asarray(err_codes)[i])
+        rt = self._native()
+        if rt is not None:
+            words, counts, totals, errs, err_codes, strict, _ = (
+                decode_pass1_variable_tpu(
+                    mat, plens, self.spec, self.block_size
+                )
             )
-        outs, tlens = self._native().apply_words(
-            np.asarray(words)[:n], self.block_size
-        )
-        out = b"".join(
-            outs[i, : tlens[i]].tobytes() for i in range(n)
-        )
+            if not strict[:n].all():
+                return None
+            errs = np.asarray(errs)[:n]
+            if errs.any():
+                i = int(np.argmax(errs != 0))
+                self._raise_decode(
+                    _decode.ERR_UNEXPECTED_CODE,
+                    int(np.asarray(err_codes)[i]),
+                )
+            outs, tlens = rt.apply_words(
+                np.asarray(words)[:n], self.block_size
+            )
+            out = b"".join(
+                outs[i, : tlens[i]].tobytes() for i in range(n)
+            )
+        else:
+            dev, totals, errs, err_codes, strict = (
+                decode_variable_all_device(
+                    mat, plens, self.spec, self.block_size
+                )
+            )
+            if not strict[:n].all():
+                return None
+            errs = np.asarray(errs)[:n]
+            if errs.any():
+                i = int(np.argmax(errs != 0))
+                self._raise_decode(
+                    _decode.ERR_UNEXPECTED_CODE,
+                    int(np.asarray(err_codes)[i]),
+                )
+            outs = np.asarray(dev)
+            tlens = np.asarray(totals)
+            out = b"".join(
+                outs[i, : tlens[i]].tobytes() for i in range(n)
+            )
         if len(out) != header.orig_size:
             raise framing.FramingError(
                 f"decoded {len(out)} bytes, container claims "

@@ -59,7 +59,7 @@ def main():
 
         t0 = time.perf_counter()
         pay, ln = f(db)
-        jax.block_until_ready((pay, ln))
+        np.asarray(ln[:4])  # block_until_ready does NOT sync the relay
         tc = time.perf_counter() - t0
         pl_np, ln_np = np.asarray(pay), np.asarray(ln)
         for i in (0, N // 2, N - 1):
@@ -72,7 +72,7 @@ def main():
             np.asarray(dv[0, :4])
             t0 = time.perf_counter()
             out = f(dv)
-            jax.block_until_ready(out)
+            np.asarray(out[1][:4])
             best = min(best, time.perf_counter() - t0)
         rate = N * B / best
         print(f"{v:>24}: {rate/2**20:6.1f} MiB/s ({rate/BASE:.2f}x ref)  "
