@@ -454,7 +454,17 @@ int lzw_apply_words(const int32_t* words, size_t n_words, uint8_t* out,
       *err_word = i;
       return kErrUnexpectedDecode;  // corrupt list
     }
-    for (size_t b = 0; b < len; ++b) out[pos + b] = out[src + b];
+    // Forward copy with possible overlap (run patterns repeat with period
+    // pos - src).  When the period allows 8-byte strides and the buffer
+    // has slack for the final partial chunk, copy in word chunks — the
+    // hot path for dictionary words (avg ~4 B, runs much longer).
+    if (pos - src >= 8 && pos + len + 8 <= out_cap) {
+      uint8_t* d = out + pos;
+      const uint8_t* s = out + src;
+      for (size_t b = 0; b < len; b += 8) std::memcpy(d + b, s + b, 8);
+    } else {
+      for (size_t b = 0; b < len; ++b) out[pos + b] = out[src + b];
+    }
     pos += len;
   }
   *out_len = pos;
