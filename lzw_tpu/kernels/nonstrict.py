@@ -19,9 +19,26 @@ from __future__ import annotations
 
 import numpy as np
 
-from lzw_tpu.spec import LzwSpec, MAX_WIDTH, TruncatedStreamError
+from lzw_tpu.spec import (
+    LzwSpec, MAX_WIDTH, MissingClearCodeError, TruncatedStreamError,
+)
 
 __all__ = ["parse_epochs", "decode_variable_nonstrict_device"]
+
+
+def _full_epoch_len(spec: LzwSpec) -> int:
+    """Data codes in a table-full epoch, derived from the schedule itself.
+
+    The early-increment strategies (TIFF) trip table-full one code sooner
+    (`lib.rs:84-91` applied at `decoder.rs:277-279`), so the bound is the
+    position of the schedule's first mandatory CLEAR — not a hardcoded
+    ``4096 - first_free + 1`` (r4 advisor find: the hardcoded bound
+    misparsed multi-epoch TIFF streams).
+    """
+    from lzw_tpu.kernels import schedule as sched_mod
+
+    sched = sched_mod.emission_schedule(spec, 4200)  # > any epoch length
+    return int(np.nonzero(sched.clear_after)[0][0]) + 1
 
 
 def _shift_rows_to_bit(mat_padded, rows, bit_offs, little: bool,
@@ -41,6 +58,19 @@ def _shift_rows_to_bit(mat_padded, rows, bit_offs, little: bool,
     # sh == 0 would shift by 8 in the partner term; mask it exactly.
     out = np.where(sh[:, None] == 0, g[:, :-1], out & 0xFF)
     return (out & 0xFF).astype(np.int32)
+
+
+def _read_sym(mat, rows, bit_offs, width: int, little: bool):
+    """Read one ``width``-bit symbol per row at absolute bit offsets."""
+    b0 = (bit_offs >> 3).astype(np.int64)
+    sh = (bit_offs & 7).astype(np.int64)
+    if little:
+        w0 = (mat[rows, b0] | (mat[rows, b0 + 1] << 8)
+              | (mat[rows, b0 + 2] << 16))
+        return (w0 >> sh) & ((1 << width) - 1)
+    wbe = ((mat[rows, b0] << 16) | (mat[rows, b0 + 1] << 8)
+           | mat[rows, b0 + 2])
+    return (wbe >> (24 - sh - width)) & ((1 << width) - 1)
 
 
 def _epoch_schedule_tables(spec: LzwSpec, S_e: int):
@@ -129,9 +159,9 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
     mat = np.zeros((N, PB + 8), np.int32)
     mat[:, :PB] = payloads
     little = spec.endianness.value == "little"
-    # Table-full bound on one epoch's data codes (decoder-side):
-    # inserts start after the first code, stop at 4096.
-    S_e = 4096 - spec.first_free_code + 1
+    # Table-full bound on one epoch's data codes, from the schedule (the
+    # early-change strategies bump one code sooner — see _full_epoch_len).
+    S_e = _full_epoch_len(spec)
     widths, offs = _epoch_schedule_tables(spec, S_e)
     bit_lim = plens * 8
 
@@ -163,20 +193,38 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
             """One epoch for streams ``g_rows`` with unpacked slot values
             ``V`` covering [0, L].  Slot S_e sits PAST the schedule's
             mandatory table-full CLEAR (offs jumps the 12-bit gap), so a
-            full epoch terminates implicitly: advance by offs[S_e], which
-            already includes that CLEAR."""
+            full epoch advances by offs[S_e] — after verifying the skipped
+            12 bits actually hold CLEAR (or EOI, the fix_eoi table-full
+            ending); anything else is the reference's missing-CLEAR error
+            (`decoder.rs:281-283`)."""
             m = len(g_rows)
             sl = V[:, :L]
-            slot_end = bit_off[g_rows, None] + offs[None, 1 : L + 1]
+            # A slot's own end is offs + width: offs[j + 1] would include
+            # the mandatory-CLEAR gap at the table-full slot, wrongly
+            # rejecting a terminator that ends the stream exactly there
+            # (r4 advisor find).
+            slot_end = (bit_off[g_rows, None] + offs[None, :L]
+                        + widths[None, :L])
             is_term = (((sl == clear) | (sl == eoi))
                        & (slot_end <= bit_lim[g_rows, None]))
             has_term = is_term.any(axis=1)
+            fin_gap = np.zeros(m, bool)
             if allow_full:
                 fullm = (~has_term) & (
                     bit_off[g_rows] + offs[S_e] <= bit_lim[g_rows]
                 )
                 if not (has_term | fullm).all():
                     raise TruncatedStreamError()
+                gi = np.nonzero(fullm)[0]
+                if len(gi):
+                    gr = g_rows[gi]
+                    gv = _read_sym(
+                        mat, gr, bit_off[gr] + offs[S_e] - MAX_WIDTH,
+                        MAX_WIDTH, little,
+                    )
+                    if ((gv != clear) & (gv != eoi)).any():
+                        raise MissingClearCodeError()
+                    fin_gap[gi] = gv == eoi
             k = np.where(
                 has_term, is_term.argmax(axis=1), S_e
             ).astype(np.int64)
@@ -190,7 +238,7 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
             denses.append(np.where(sel, sl, 0))
             adv = np.where(has_term, offs[k] + widths[k], offs[S_e])
             bit_off[g_rows] = bit_off[g_rows] + adv
-            fin = has_term & (term_val == eoi)
+            fin = (has_term & (term_val == eoi)) | fin_gap
             done[g_rows[fin]] = True
 
         # Two-phase unpack: most foreign epochs terminate within ~1k
@@ -198,7 +246,7 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
         # only the stragglers pay the full table-bound unpack.
         Lq = min(1024, S_e)
         vq = _unpack_epoch(shifted, spec, Lq)
-        endq = bit_off[rows, None] + offs[None, 1 : Lq + 1]
+        endq = bit_off[rows, None] + offs[None, :Lq] + widths[None, :Lq]
         termq = (((vq[:, :Lq] == clear) | (vq[:, :Lq] == eoi))
                  & (endq <= bit_lim[rows, None])).any(axis=1)
         qi = np.nonzero(termq)[0]

@@ -115,3 +115,100 @@ def test_container_nonstrict_path_stitches_blocks():
     finally:
         mod_dict["decode_variable_nonstrict_device"] = orig
     assert out == data
+
+
+def _truncated_strict_stream(spec, n_data: int, tail=()):
+    """A valid stream of exactly ``n_data`` data codes built by truncating
+    an oracle encode, with ``tail`` (code, width) symbols appended."""
+    from lzw_tpu.kernels import schedule as sched_mod
+
+    rng = np.random.default_rng(42)
+    hi = spec.max_code_value + 1
+    src = bytes(rng.integers(0, hi, 4 * n_data + 4096).astype(np.uint8))
+    cw = oracle.encode_codes(src, spec)
+    body = [
+        (c, w) for c, w in cw
+        if c not in (spec.clear_code, spec.end_code)
+    ]
+    assert len(body) > n_data
+    head = [cw[0]] + body[:n_data]
+    return oracle.pack_codes(head + list(tail), spec.endianness)
+
+
+def test_nonstrict_tiff_multi_epoch_table_full():
+    """A strict TIFF stream with a table-full epoch must resegment: the
+    early-change strategy trips table-full one code sooner, so the epoch
+    bound must come from the schedule (r4 advisor find)."""
+    rng = np.random.default_rng(7)
+    spec = LzwSpec.tiff()
+    src = bytes(rng.integers(0, 256, 1 << 14).astype(np.uint8))
+    stream = oracle.encode_bytes(src, spec)
+    n_codes = sum(
+        1 for c, _ in oracle.encode_codes(src, spec)
+        if c not in (spec.clear_code, spec.end_code)
+    )
+    assert n_codes > nsx._full_epoch_len(spec)  # really multi-epoch
+    pay, plens = _matrix([stream])
+    outs = nsx.decode_variable_nonstrict_device(
+        pay, plens, spec, 1 << 14, interpret=True
+    )
+    assert outs[0] == src
+
+
+def test_nonstrict_eoi_on_last_slot_of_full_epoch():
+    """EOI occupying the final data slot of a would-be-full epoch must
+    terminate the parse (slot end = offset + width, not the next slot's
+    offset past the mandatory-CLEAR gap; r4 advisor find)."""
+    from lzw_tpu.kernels import schedule as sched_mod
+
+    spec = LzwSpec.gif(7)
+    S_e = nsx._full_epoch_len(spec)
+    n = S_e - 1
+    sched = sched_mod.emission_schedule(spec, S_e + 2)
+    w_eoi = sched.eoi_width(n, True)
+    stream = _truncated_strict_stream(spec, n, [(spec.end_code, w_eoi)])
+    want = oracle.decode_bytes(stream, spec)
+    pay, plens = _matrix([stream])
+    outs = nsx.decode_variable_nonstrict_device(
+        pay, plens, spec, 1 << 14, interpret=True
+    )
+    assert outs[0] == want
+
+
+def test_nonstrict_eoi_in_table_full_gap():
+    """A stream ending with EOI exactly where the table-full CLEAR would
+    sit (the fix_eoi ending) parses as a completed stream."""
+    from lzw_tpu.kernels import schedule as sched_mod
+
+    spec = LzwSpec.gif(7)
+    S_e = nsx._full_epoch_len(spec)
+    sched = sched_mod.emission_schedule(spec, S_e + 2)
+    w_eoi = sched.eoi_width(S_e, True)
+    assert w_eoi == 12
+    stream = _truncated_strict_stream(spec, S_e, [(spec.end_code, w_eoi)])
+    want = oracle.decode_bytes(stream, spec)
+    pay, plens = _matrix([stream])
+    outs = nsx.decode_variable_nonstrict_device(
+        pay, plens, spec, 1 << 14, interpret=True
+    )
+    assert outs[0] == want
+
+
+def test_nonstrict_corrupt_table_full_gap_raises():
+    """A non-CLEAR data code where the table-full CLEAR must sit is the
+    reference's missing-CLEAR error (`decoder.rs:281-283`) — the parse must
+    not silently decode past it (r4 advisor find)."""
+    from lzw_tpu.spec import MissingClearCodeError
+
+    spec = LzwSpec.gif(7)
+    S_e = nsx._full_epoch_len(spec)
+    stream = _truncated_strict_stream(
+        spec, S_e, [(300, 12), (spec.end_code, 12)]
+    )
+    with pytest.raises(MissingClearCodeError):
+        oracle.decode_bytes(stream, spec)
+    pay, plens = _matrix([stream])
+    with pytest.raises(MissingClearCodeError):
+        nsx.decode_variable_nonstrict_device(
+            pay, plens, spec, 1 << 14, interpret=True
+        )
