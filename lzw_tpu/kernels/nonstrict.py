@@ -17,6 +17,8 @@ Host work is O(epochs) vectorized passes — no per-code Python loop.
 
 from __future__ import annotations
 
+import functools
+
 import numpy as np
 
 from lzw_tpu.spec import (
@@ -39,25 +41,6 @@ def _full_epoch_len(spec: LzwSpec) -> int:
 
     sched = sched_mod.emission_schedule(spec, 4200)  # > any epoch length
     return int(np.nonzero(sched.clear_after)[0][0]) + 1
-
-
-def _shift_rows_to_bit(mat_padded, rows, bit_offs, little: bool,
-                       out_bytes: int):
-    """Bit-realign: row j of the result starts at bit ``bit_offs[j]`` of
-    ``mat_padded[rows[j]]`` (int32 byte values, zero padded).  Gathers only
-    the ``out_bytes`` window — never copies whole payload rows."""
-    b0 = (bit_offs >> 3).astype(np.int64)
-    sh = (bit_offs & 7).astype(np.int64)
-    idx = b0[:, None] + np.arange(out_bytes + 1)[None, :]
-    idx = np.minimum(idx, mat_padded.shape[1] - 1)
-    g = mat_padded[rows[:, None], idx]
-    if little:
-        out = (g[:, :-1] >> sh[:, None]) | (g[:, 1:] << (8 - sh[:, None]))
-    else:
-        out = (g[:, :-1] << sh[:, None]) | (g[:, 1:] >> (8 - sh[:, None]))
-    # sh == 0 would shift by 8 in the partner term; mask it exactly.
-    out = np.where(sh[:, None] == 0, g[:, :-1], out & 0xFF)
-    return (out & 0xFF).astype(np.int32)
 
 
 def _read_sym(mat, rows, bit_offs, width: int, little: bool):
@@ -84,65 +67,39 @@ def _epoch_schedule_tables(spec: LzwSpec, S_e: int):
     return widths, offs
 
 
-def _unpack_epoch(shifted, spec: LzwSpec, S_e: int):
-    """Unpack slots 0..S_e (inclusive) of an epoch aligned at bit 0.
+@functools.lru_cache(maxsize=64)
+def _slot_tables(spec: LzwSpec, L: int):
+    """Per-slot extraction tables for epoch-local slots 0..L-1: bit offset,
+    width, value mask, slot end (offset + width) — all static per spec,
+    cached so the per-generation parse loop pays zero schedule work."""
+    widths, offs = _epoch_schedule_tables(spec, max(L, 1))
+    w = widths[:L].astype(np.int32)
+    offs32 = offs[:L].astype(np.int32)
+    return offs32, w, ((1 << w) - 1).astype(np.int32), offs32 + w
 
-    Same periodic-segment trick as ``schedule._unpack_segments`` but with
-    offsets measured from the epoch start.  Returns vals i32[N, S_e + 1].
+
+def _unpack_at(w24, rows, bit_off_rows, spec: LzwSpec, L: int,
+               little: bool):
+    """Unpack epoch-local slots 0..L-1 for each row at absolute per-row
+    bit offsets, from the precombined 24-bit window matrix ``w24``
+    (``w24[i, b]`` = the 3 bytes at b, already endianness-combined).
+
+    One vectorized gather per (row, slot) — widths are <= 12, so 3 bytes
+    cover any alignment.  ~6 numpy ops for the whole window, with no
+    intermediate realigned copy; the r4 version's per-position segment
+    loops plus a realign gather made the generation loop
+    call-overhead-bound (4.7s of a 5.1s decode).  Returns vals i32[m, L].
     """
-    import math
-
-    little = spec.endianness.value == "little"
-    widths, offs = _epoch_schedule_tables(spec, S_e)
-    N = shifted.shape[0]
-    padded = np.concatenate(
-        [shifted, np.zeros((N, 8), np.int32)], axis=1
-    )
-    parts = []
-    a = 0
-    while a <= S_e:
-        w = int(widths[a])
-        b = a
-        while b <= S_e and widths[b] == w:
-            b += 1
-        m = b - a
-        base_g = (8 * w // math.gcd(w, 8)) // w
-        g = base_g * ((8 + base_g - 1) // base_g)
-        P = g * w // 8
-        o = int(offs[a])
-        align = o & 7
-        base_byte = o >> 3
-        R = (m + g - 1) // g
-        need = base_byte + R * P + 3
-        if need > padded.shape[1]:
-            padded = np.concatenate(
-                [padded, np.zeros((N, need - padded.shape[1]), np.int32)],
-                axis=1,
-            )
-        main = padded[:, base_byte : base_byte + R * P].reshape(N, R, P)
-        tail = padded[:, base_byte + R * P : base_byte + R * P + 3]
-        nxt3 = np.concatenate(
-            [main[:, 1:, :3], tail.reshape(N, 1, 3)], axis=1
-        )
-        grp = np.concatenate([main, nxt3], axis=2)
-        cols = []
-        mask = (1 << w) - 1
-        for cpos in range(g):
-            bitc = align + cpos * w
-            bb = bitc >> 3
-            sh = bitc & 7
-            if little:
-                w0 = (grp[..., bb] | (grp[..., bb + 1] << 8)
-                      | (grp[..., bb + 2] << 16))
-                cols.append((w0 >> sh) & mask)
-            else:
-                w0 = ((grp[..., bb] << 16) | (grp[..., bb + 1] << 8)
-                      | grp[..., bb + 2])
-                cols.append((w0 >> (24 - w - sh)) & mask)
-        vals = np.stack(cols, axis=-1).reshape(N, R * g)[:, :m]
-        parts.append(vals.astype(np.int32))
-        a = b
-    return np.concatenate(parts, axis=1)
+    offs, w, mask, _end = _slot_tables(spec, L)
+    boff = bit_off_rows.astype(np.int64)[:, None] + offs[None, :]
+    b0 = boff >> 3
+    np.minimum(b0, w24.shape[1] - 1, out=b0)  # clamp: junk past bit_lim is
+    # masked by the slot-end checks downstream
+    sh = (boff & 7).astype(np.int32)
+    acc = w24[rows[:, None], b0]
+    if little:
+        return (acc >> sh) & mask[None]
+    return (acc >> (24 - sh - w[None])) & mask[None]
 
 
 def parse_epochs(payloads, plens, spec: LzwSpec):
@@ -159,6 +116,11 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
     mat = np.zeros((N, PB + 8), np.int32)
     mat[:, :PB] = payloads
     little = spec.endianness.value == "little"
+    # Pre-combined 3-byte windows: one gather per (row, slot) downstream.
+    if little:
+        w24 = mat[:, :-2] | (mat[:, 1:-1] << 8) | (mat[:, 2:] << 16)
+    else:
+        w24 = (mat[:, :-2] << 16) | (mat[:, 1:-1] << 8) | mat[:, 2:]
     # Table-full bound on one epoch's data codes, from the schedule (the
     # early-change strategies bump one code sooner — see _full_epoch_len).
     S_e = _full_epoch_len(spec)
@@ -176,86 +138,87 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
     denses: list[np.ndarray] = []
     counts: list[np.ndarray] = []
     done = ~active
-    max_bytes = int(
-        min((int(offs[S_e + 1]) + MAX_WIDTH + 7) // 8 + 4, PB + 8)
-    )
+    Lq = min(1024, S_e)
+    end_q = _slot_tables(spec, Lq)[3]
+    end_f = _slot_tables(spec, S_e)[3]
+
+    def subset(g_rows, V, L, allow_full, is_term=None):
+        """One epoch for streams ``g_rows`` with unpacked slot values
+        ``V`` covering [0, L].  Slot S_e sits PAST the schedule's
+        mandatory table-full CLEAR (offs jumps the 12-bit gap), so a
+        full epoch advances by offs[S_e] — after verifying the skipped
+        12 bits actually hold CLEAR (or EOI, the fix_eoi table-full
+        ending); anything else is the reference's missing-CLEAR error
+        (`decoder.rs:281-283`)."""
+        m = len(g_rows)
+        sl = V[:, :L]
+        if is_term is None:
+            # A slot's own end is offs + width: offs[j + 1] would include
+            # the mandatory-CLEAR gap at the table-full slot, wrongly
+            # rejecting a terminator that ends the stream exactly there
+            # (r4 advisor find).
+            slot_end = (bit_off[g_rows, None]
+                        + (end_q if L == Lq else end_f)[None, :L])
+            is_term = (((sl == clear) | (sl == eoi))
+                       & (slot_end <= bit_lim[g_rows, None]))
+        has_term = is_term.any(axis=1)
+        fin_gap = np.zeros(m, bool)
+        if allow_full:
+            fullm = (~has_term) & (
+                bit_off[g_rows] + offs[S_e] <= bit_lim[g_rows]
+            )
+            if not (has_term | fullm).all():
+                raise TruncatedStreamError()
+            gi = np.nonzero(fullm)[0]
+            if len(gi):
+                gr = g_rows[gi]
+                gv = _read_sym(
+                    mat, gr, bit_off[gr] + offs[S_e] - MAX_WIDTH,
+                    MAX_WIDTH, little,
+                )
+                if ((gv != clear) & (gv != eoi)).any():
+                    raise MissingClearCodeError()
+                fin_gap[gi] = gv == eoi
+        k = np.where(
+            has_term, is_term.argmax(axis=1), S_e
+        ).astype(np.int64)
+        term_val = np.where(
+            has_term, sl[np.arange(m), np.minimum(k, L - 1)], clear
+        )
+        # Record this epoch (k may be 0 for CLEAR CLEAR runs).
+        owners.append(g_rows.astype(np.int64))
+        counts.append(k)
+        sel = np.arange(L)[None, :] < k[:, None]
+        denses.append(np.where(sel, sl, 0))
+        adv = np.where(has_term, offs[k] + widths[k], offs[S_e])
+        bit_off[g_rows] = bit_off[g_rows] + adv
+        fin = (has_term & (term_val == eoi)) | fin_gap
+        done[g_rows[fin]] = True
+
     guard = 0
     while not done.all():
         guard += 1
         if guard > (8 * PB) // w0 + 2:
             raise TruncatedStreamError()
         rows = np.nonzero(~done)[0]
-        shifted = _shift_rows_to_bit(
-            mat, rows, bit_off[rows], little, max_bytes
-        )
-
-        def subset(g_rows, V, L, allow_full):
-            """One epoch for streams ``g_rows`` with unpacked slot values
-            ``V`` covering [0, L].  Slot S_e sits PAST the schedule's
-            mandatory table-full CLEAR (offs jumps the 12-bit gap), so a
-            full epoch advances by offs[S_e] — after verifying the skipped
-            12 bits actually hold CLEAR (or EOI, the fix_eoi table-full
-            ending); anything else is the reference's missing-CLEAR error
-            (`decoder.rs:281-283`)."""
-            m = len(g_rows)
-            sl = V[:, :L]
-            # A slot's own end is offs + width: offs[j + 1] would include
-            # the mandatory-CLEAR gap at the table-full slot, wrongly
-            # rejecting a terminator that ends the stream exactly there
-            # (r4 advisor find).
-            slot_end = (bit_off[g_rows, None] + offs[None, :L]
-                        + widths[None, :L])
-            is_term = (((sl == clear) | (sl == eoi))
-                       & (slot_end <= bit_lim[g_rows, None]))
-            has_term = is_term.any(axis=1)
-            fin_gap = np.zeros(m, bool)
-            if allow_full:
-                fullm = (~has_term) & (
-                    bit_off[g_rows] + offs[S_e] <= bit_lim[g_rows]
-                )
-                if not (has_term | fullm).all():
-                    raise TruncatedStreamError()
-                gi = np.nonzero(fullm)[0]
-                if len(gi):
-                    gr = g_rows[gi]
-                    gv = _read_sym(
-                        mat, gr, bit_off[gr] + offs[S_e] - MAX_WIDTH,
-                        MAX_WIDTH, little,
-                    )
-                    if ((gv != clear) & (gv != eoi)).any():
-                        raise MissingClearCodeError()
-                    fin_gap[gi] = gv == eoi
-            k = np.where(
-                has_term, is_term.argmax(axis=1), S_e
-            ).astype(np.int64)
-            term_val = np.where(
-                has_term, sl[np.arange(m), np.minimum(k, L - 1)], clear
-            )
-            # Record this epoch (k may be 0 for CLEAR CLEAR runs).
-            owners.append(g_rows.astype(np.int64))
-            counts.append(k)
-            sel = np.arange(L)[None, :] < k[:, None]
-            denses.append(np.where(sel, sl, 0))
-            adv = np.where(has_term, offs[k] + widths[k], offs[S_e])
-            bit_off[g_rows] = bit_off[g_rows] + adv
-            fin = (has_term & (term_val == eoi)) | fin_gap
-            done[g_rows[fin]] = True
-
         # Two-phase unpack: most foreign epochs terminate within ~1k
         # codes, so a quick prefix pass resolves them at prefix width and
         # only the stragglers pay the full table-bound unpack.
-        Lq = min(1024, S_e)
-        vq = _unpack_epoch(shifted, spec, Lq)
-        endq = bit_off[rows, None] + offs[None, :Lq] + widths[None, :Lq]
-        termq = (((vq[:, :Lq] == clear) | (vq[:, :Lq] == eoi))
-                 & (endq <= bit_lim[rows, None])).any(axis=1)
+        vq = _unpack_at(w24, rows, bit_off[rows], spec, Lq, little)
+        endq = bit_off[rows, None] + end_q[None, :]
+        is_term_q = (((vq == clear) | (vq == eoi))
+                     & (endq <= bit_lim[rows, None]))
+        termq = is_term_q.any(axis=1)
         qi = np.nonzero(termq)[0]
         fi = np.nonzero(~termq)[0]
         if len(qi):
-            subset(rows[qi], vq[qi], Lq, False)
+            subset(rows[qi], vq[qi], Lq, False, is_term_q[qi])
         if len(fi):
-            vf = _unpack_epoch(shifted[fi], spec, S_e)
-            subset(rows[fi], vf, S_e, True)
+            # Stragglers (longer than the quick window) pay the full
+            # table-bound unpack; typically a small minority.
+            rf = rows[fi]
+            vf = _unpack_at(w24, rf, bit_off[rf], spec, S_e, little)
+            subset(rf, vf, S_e, True)
 
     if not owners:
         U = 0
@@ -265,11 +228,12 @@ def parse_epochs(payloads, plens, spec: LzwSpec):
     owner = np.concatenate(owners)
     cnt = np.concatenate(counts)
     W = max(d.shape[1] for d in denses)
-    dense = np.concatenate(
-        [d if d.shape[1] == W
-         else np.pad(d, ((0, 0), (0, W - d.shape[1]))) for d in denses],
-        axis=0,
-    )
+    U_all = sum(d.shape[0] for d in denses)
+    dense = np.zeros((U_all, W), np.int32)
+    u = 0
+    for d in denses:
+        dense[u : u + d.shape[0], : d.shape[1]] = d
+        u += d.shape[0]
     # Order sub-streams by (owner, generation): generations were appended
     # in order, and concatenation preserves per-owner order under a stable
     # sort on owner.
