@@ -55,7 +55,8 @@ from lzw_tpu.spec import MAX_TABLE_SIZE
 
 __all__ = [
     "decode_pass1_fixed_tpu", "decode_pass1_variable_tpu",
-    "decode_pass2_device", "decode_variable_all_device",
+    "decode_pass2_device", "decode_pass2_stride2",
+    "decode_variable_all_device",
     "prepare_variable_decode", "decode_variable_device_run",
     "decode_variable_epochs_run", "epoch_bounds", "unpack12",
     "KIND_COPY", "KIND_LIT", "KIND_HOLE",
@@ -74,6 +75,10 @@ KIND_HOLE = 2
 
 MAX_BLOCK = 1 << 17  # descriptor payload / wide-plane src field bound
 NARROW_BLOCK = 4096  # single-plane packed-entry bound (12-bit src)
+# Max grid groups per compiled pass-2 program before lax.map super-group
+# serialization (the G>2 miscompile containment; see _pass2_walk_shift).
+# Read at trace time; A/B scripts flip it with jax.clear_caches().
+SUPER_GROUP_MAX = 2
 
 def unpack12(payloads, plens, little: bool):
     """XLA unpack: 3 bytes -> 2 twelve-bit codes (static reshape math).
@@ -97,8 +102,8 @@ def unpack12(payloads, plens, little: bool):
 
 
 def _make_kernel(seg: int, variable_spec=None, block_size: int = 4096,
-                 ring: bool = False):
-    wide = block_size > NARROW_BLOCK
+                 ring: bool = False, pair2: bool = False):
+    wide = block_size > NARROW_BLOCK or pair2
 
     def kernel(codes_ref, ncodes_ref, *rest):
         if variable_spec is None:
@@ -114,7 +119,7 @@ def _make_kernel(seg: int, variable_spec=None, block_size: int = 4096,
         return _decode_kernel(
             codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref, stats_ref,
             tab_ref, tab2_ref, state_ref, seg, variable_spec, block_size,
-            ring,
+            ring, pair2,
         )
 
     return kernel
@@ -122,7 +127,7 @@ def _make_kernel(seg: int, variable_spec=None, block_size: int = 4096,
 
 def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
                    stats_ref, tab_ref, tab2_ref, state_ref, SEG,
-                   variable_spec, block_size, ring):
+                   variable_spec, block_size, ring, pair2: bool = False):
     """Grid: (groups, cells); the step-indexed table persists across cells.
 
     For variable flavors (strict schedule streams), ``sched_ref`` carries
@@ -130,6 +135,17 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
     (``Schedule.nxt_of``), row 1 the step index of the epoch start.  All
     lanes share them because strict streams consume code ordinals in
     lockstep.
+
+    With ``pair2`` the table always uses the two-plane layout, extended so
+    each entry also carries its code's (prefix, suffix): plane A
+    ``suffix<<20 | length<<8 | first`` (28 bits), plane B
+    ``prefix<<17 | src`` (29 bits).  The pair output then holds stride-2
+    chain descriptors (see :func:`decode_pass2_stride2`):
+    ``done<<28 | prefix2<<16 | byte1<<8 | byte0`` — byte0 = suffix(c),
+    byte1 = suffix(prefix(c)) (or the root byte when done), prefix2 =
+    prefix(prefix(c)).  Both come straight from registers: the lookup at
+    step t-1 returned (prefix, suffix) of the code whose entry step t
+    creates, carried in the packed ``pps`` state row.
     """
     c = pl.program_id(1)
     last_cell = c == pl.num_programs(1) - 1
@@ -140,22 +156,30 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
     variable = variable_spec is not None
     alphabet = variable_spec if variable else FIRST_FREE
     first_free = alphabet + 2 if variable else FIRST_FREE
+    n_state = 8 if pair2 else 7
 
     @pl.when(c == 0)
     def _init():
         tab_ref[:] = jnp.zeros(tab_ref.shape, jnp.int32)
         if wide:
             tab2_ref[:] = jnp.zeros(tab2_ref.shape, jnp.int32)
-        for r in range(7):
+        for r in range(n_state):
             state_ref[r] = jnp.zeros((sub, 128), jnp.int32)
         state_ref[3] = jnp.full((sub, 128), first_free, jnp.int32)  # next
+        if pair2:
+            state_ref[7] = jnp.full((sub, 128), -1, jnp.int32)  # pps
 
     ncodes = ncodes_ref[0, 0]
     base = c * cell
     ROW0 = jax.lax.broadcasted_iota(jnp.int32, (SEG, sub, 128), 0)
 
     def step(j, carry):
-        prev_len, prev_first, off, nxt, err, err_code, prev_code = carry
+        if pair2:
+            (prev_len, prev_first, off, nxt, err, err_code, prev_code,
+             pps) = carry
+        else:
+            prev_len, prev_first, off, nxt, err, err_code, prev_code = carry
+            pps = None
         t = base + j
         code = codes_ref[0, j]
         active = (t < ncodes) & (err == 0)
@@ -216,6 +240,10 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
             )
             len_c = (ent >> 8) & 0xFFF
             first_c = ent & 0xFF
+            if pair2:
+                sfx_c = (ent >> 20) & 0xFF
+                pfx_c = (src_d >> 17) & 0xFFF
+                src_d = src_d & 0x1FFFF
         else:
             def scan_tab(s, acc):
                 p = (s % n_phys) * SEG if ring else s * SEG
@@ -258,10 +286,16 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
         if wide:
             entry = jnp.where(
                 ins,
-                (((prev_len + 1) & 0xFFF) << 8) | (prev_first & 0xFF),
+                (((prev_len + 1) & 0xFFF) << 8) | (prev_first & 0xFF)
+                | (((first & 0xFF) << 20) if pair2 else 0),
                 0,
             )
-            entry2 = jnp.where(ins, off - prev_len, 0)
+            entry2 = jnp.where(
+                ins,
+                (off - prev_len)
+                | (((prev_code & 0xFFF) << 17) if pair2 else 0),
+                0,
+            )
         else:
             entry = jnp.where(
                 ins,
@@ -286,21 +320,49 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
                 tab_ref[t] = entry
                 if wide:
                     tab2_ref[t] = entry2
-        # Chain-walk table for the device pass 2: code | prefix | suffix.
-        pair_ref[0, j] = jnp.where(
-            ins, (nxt << 20) | (prev_code << 8) | first, 0
-        )
+        if pair2:
+            # Stride-2 chain descriptor for the entry created this step
+            # (code nxt, prefix prev_code, suffix `first`).  pps still
+            # describes the code consumed at step t-1 == prev_code:
+            # pps < 0 means prev_code was a root/literal (chain ends after
+            # byte1 = the root byte), else pps = pfx(prev_code)<<8 |
+            # sfx(prev_code).
+            p2 = jnp.where(
+                pps < 0,
+                (1 << 28) | ((prev_code & 0xFF) << 8) | (first & 0xFF),
+                ((pps >> 8) << 16) | ((pps & 0xFF) << 8) | (first & 0xFF),
+            )
+            pair_ref[0, j] = jnp.where(ins, p2, 0)
+        else:
+            # Chain-walk table for the device pass 2: code | prefix |
+            # suffix.
+            pair_ref[0, j] = jnp.where(
+                ins, (nxt << 20) | (prev_code << 8) | first, 0
+            )
         nxt = nxt + ins.astype(jnp.int32)
+
+        if pair2:
+            # (prefix, suffix) of the code consumed THIS step, for the
+            # next step's descriptor: roots/literals mark -1; the KwKwK
+            # code is the entry just created (prefix prev_code, suffix
+            # `first`); otherwise the lookup's extended planes have it.
+            cpfx = jnp.where(kwkwk, prev_code, pfx_c)
+            csfx = jnp.where(kwkwk, first, sfx_c)
+            pps_new = jnp.where(is_lit, -1, (cpfx << 8) | (csfx & 0xFF))
+            pps = jnp.where(ok, pps_new, pps)
 
         off = off + jnp.where(ok, length, 0)
         prev_len = jnp.where(ok, length, prev_len)
         prev_first = jnp.where(ok, first, prev_first)
         prev_code = jnp.where(ok, code, prev_code)
+        if pair2:
+            return (prev_len, prev_first, off, nxt, err, err_code,
+                    prev_code, pps)
         return prev_len, prev_first, off, nxt, err, err_code, prev_code
 
-    carry = tuple(state_ref[r] for r in range(7))
+    carry = tuple(state_ref[r] for r in range(n_state))
     carry = jax.lax.fori_loop(0, cell, step, carry)
-    for r in range(7):
+    for r in range(n_state):
         state_ref[r] = carry[r]
 
     @pl.when(last_cell)
@@ -315,26 +377,31 @@ def _decode_kernel(codes_ref, ncodes_ref, sched_ref, words_ref, pair_ref,
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "little", "interpret", "group", "cell",
-                     "seg"),
+                     "seg", "pair2"),
 )
 def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
                            little: bool = True, interpret: bool = False,
                            group: int = GROUP, cell: int = CELL,
-                           seg: int = SEG):
+                           seg: int = SEG, pair2: bool = False):
     """Fixed-12 pass 1 on TPU: payload bytes -> per-code copy descriptors.
 
     Args:
       payloads: u8[N, PB] compressed payloads, zero-padded, PB % 3 == 0.
       plens:    i32[N] payload byte lengths.
       block_size: decoded block bound (container block size).
+      pair2: emit stride-2 chain descriptors (for
+        :func:`decode_pass2_stride2`) instead of the (code, prefix,
+        suffix) pair rows; forces the two-plane table layout.
     Returns:
       words i32[N, S] descriptors, n_codes i32[N], total i32[N],
       err i32[N], err_code i32[N].
     """
     N, PB = payloads.shape
+    if pair2 and group > 2048:
+        group = 2048  # two extended planes: keep the VMEM tables in budget
     assert N % group == 0 and group % 128 == 0
     assert block_size <= MAX_BLOCK
-    wide = block_size > NARROW_BLOCK
+    wide = block_size > NARROW_BLOCK or pair2
     sub = group // 128
     G = N // group
 
@@ -349,7 +416,7 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
     nc = n_codes.reshape(G, 1, sub, 128)
 
     words, pair, stats = pl.pallas_call(
-        _make_kernel(seg, None, block_size),
+        _make_kernel(seg, None, block_size, pair2=pair2),
         grid=(G, S // cell),
         in_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
@@ -371,7 +438,7 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
                  sub, 128),
                 jnp.int32,
             )] * (2 if wide else 1)
-            + [pltpu.VMEM((7, sub, 128), jnp.int32)]
+            + [pltpu.VMEM((8 if pair2 else 7, sub, 128), jnp.int32)]
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -387,10 +454,11 @@ def decode_pass1_fixed_tpu(payloads, plens, block_size: int,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "S", "block_size", "interpret", "group",
-                     "cell", "seg"),
+                     "cell", "seg", "pair2"),
 )
 def _variable_pass1_from_payloads(payloads, counts, sched, spec, S,
-                                  block_size, interpret, group, cell, seg):
+                                  block_size, interpret, group, cell, seg,
+                                  pair2: bool = False):
     """Device unpack (payload bytes -> dense codes) + pass-1 kernel, one jit.
 
     Payload bytes are the only host->device transfer; the 4-byte dense code
@@ -402,22 +470,24 @@ def _variable_pass1_from_payloads(payloads, counts, sched, spec, S,
         payloads, counts, spec, S
     )
     words, stats, pair = _variable_pass1(
-        dense, counts, sched, spec, block_size, interpret, group, cell, seg
+        dense, counts, sched, spec, block_size, interpret, group, cell, seg,
+        pair2,
     )
     return words, stats, pair, dense, data_ok
 
 
 def _variable_pass1(codes, n_codes, sched, spec, block_size, interpret,
-                    group, cell, seg):
+                    group, cell, seg, pair2: bool = False):
     N, S = codes.shape
     sub = group // 128
     G = N // group
-    wide = block_size > NARROW_BLOCK
+    wide = block_size > NARROW_BLOCK or pair2
     x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
     nc = n_codes.reshape(G, 1, sub, 128)
     tab_h = min(((S + seg - 1) // seg) * seg, 4096)
     words, pair, stats = pl.pallas_call(
-        _make_kernel(seg, spec.alphabet_size, block_size, ring=S > tab_h),
+        _make_kernel(seg, spec.alphabet_size, block_size, ring=S > tab_h,
+                     pair2=pair2),
         grid=(G, S // cell),
         in_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
@@ -437,7 +507,7 @@ def _variable_pass1(codes, n_codes, sched, spec, block_size, interpret,
         ],
         scratch_shapes=(
             [pltpu.VMEM((tab_h, sub, 128), jnp.int32)] * (2 if wide else 1)
-            + [pltpu.VMEM((7, sub, 128), jnp.int32)]
+            + [pltpu.VMEM((8 if pair2 else 7, sub, 128), jnp.int32)]
         ),
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024,
@@ -682,13 +752,16 @@ def decode_variable_epochs_run(payloads, counts, sched_arr, spec, S: int,
                                block_size: int, interpret: bool = False,
                                group: int = GROUP_VAR, cell: int = CELL,
                                seg: int = 128, cell2: int = CELL,
-                               seg2: int = 128, group2: int = 2048):
+                               seg2: int = 128, group2: int = 2048,
+                               stride2: bool = True, bound_mode: int = 0):
     """Epoch-split device half of the strict variable decode.
 
     Same contract as :func:`decode_variable_device_run` (pass 1 + device
     pass 2, returns (blocks, totals, errs, err_codes, data_ok)) but pass 2
     runs one dispatch per dictionary epoch over (block, epoch) units, with
-    one small host sync for the per-epoch output bounds.
+    one small host sync for the per-epoch output bounds.  ``stride2``
+    (default since r5) walks two chain nodes per round on pass-1 stride-2
+    descriptors — half the scans per byte.
     """
     import numpy as np
 
@@ -702,7 +775,7 @@ def decode_variable_epochs_run(payloads, counts, sched_arr, spec, S: int,
         else jnp.asarray(np.asarray(counts, np.int32))
     words, stats, pair, dense, data_ok = _variable_pass1_from_payloads(
         jnp.asarray(payloads), cdev, jnp.asarray(sched_arr), spec, S,
-        block_size, interpret, group, cell, seg,
+        block_size, interpret, group, cell, seg, pair2=stride2,
     )
     totals, errs, err_codes = stats[:, 0], stats[:, 1], stats[:, 2]
     te = _epoch_totals(words, spec, S)
@@ -734,12 +807,20 @@ def decode_variable_epochs_run(payloads, counts, sched_arr, spec, S: int,
             g2 = max(128, min(group2, sub_max * 128, group))
             while N % g2 and g2 > 128:
                 g2 //= 2
-            out_e = decode_pass2_device(
-                dense[:, a:b], pair[:, a:b], jnp.clip(cdev - a, 0, L),
-                te[:, e], r_need, alphabet=spec.alphabet_size,
-                interpret=interpret, group=g2, cell=cell2, seg=seg2,
-                variable=False, first_free=spec.first_free_code,
-            )
+            if stride2:
+                out_e = decode_pass2_stride2(
+                    dense[:, a:b], pair[:, a:b], jnp.clip(cdev - a, 0, L),
+                    te[:, e], r_need, alphabet=spec.alphabet_size,
+                    interpret=interpret, group=g2, cell=cell2, seg=seg2,
+                    first_free=spec.first_free_code, bound_mode=bound_mode,
+                )
+            else:
+                out_e = decode_pass2_device(
+                    dense[:, a:b], pair[:, a:b], jnp.clip(cdev - a, 0, L),
+                    te[:, e], r_need, alphabet=spec.alphabet_size,
+                    interpret=interpret, group=g2, cell=cell2, seg=seg2,
+                    variable=False, first_free=spec.first_free_code,
+                )
             parts.append(out_e)
             cums.append(cum_dev[:, e])
     if not parts:
@@ -951,6 +1032,308 @@ def _pass2_finalize(shifted, N: int, R: int, block_size: int):
     return out.astype(jnp.uint8)
 
 
+# --------------------------------------------------------------------------- #
+# Stride-2 pass 2: two bytes per round                                        #
+# --------------------------------------------------------------------------- #
+#
+# The r4 walker pays one pair-table scan per BYTE and one word-table scan
+# per word transition; EVOLUTION.md's r4 timing shows the two scans cost
+# about the same and dominate the round.  Stride-2 halves the rounds:
+#
+# * Pass 1 emits *stride-2* descriptors (``pair2=True``): for code c with
+#   prefix p, ``done<<28 | prefix(p)<<16 | suffix(p)<<8 | suffix(c)`` —
+#   one lookup yields TWO chain bytes and jumps two nodes (or finishes the
+#   word when p is a root, whose byte rides the suffix(p) slot).  Built
+#   from registers in pass 1: the step that creates the entry read
+#   (prefix, suffix) of p at the previous step's table lookup (the planes
+#   are extended by 20 bits to carry them).
+# * The word table packs TWO heads per row (``dense[w] | dense[w-1]<<12``)
+#   so consuming a 1-byte word and refilling the next costs one scan.
+# * Each round writes a PACKED byte pair (b0 | b1<<8) at round row j =
+#   reversed-stream positions 2j, 2j+1; rounds therefore halve, and each
+#   round still runs at most one word scan + one pair scan.
+
+
+def _make_pass2_kernel2(seg: int, alphabet: int, first_free: int,
+                        bound_mode: int = 0):
+    """Stride-2 backwards chain walk (unit-local rows: the epoch-split and
+    fixed-flavor layout — code c's descriptor at row ``1 + c -
+    first_free``, word w's packed heads at row w).
+
+    Per-lane round state: ``w`` (current word), ``cur`` (chain node, -1 =
+    refill from word table), ``pend`` (a buffered byte emitted first next
+    round, -1 = none).  Every active round emits exactly two bytes, so
+    positions stay a static function of the round index and the final
+    assembly stays scatter-free."""
+
+    def kernel(codes_ref, pair_ref, sin_ref, out_ref, sout_ref, state_ref):
+        c = pl.program_id(1)
+        last_cell = c == pl.num_programs(1) - 1
+        sub = pair_ref.shape[2]
+        cell = out_ref.shape[1]
+
+        @pl.when(c == 0)
+        def _init():
+            for r in range(3):
+                state_ref[r] = sin_ref[0, r]
+
+        ROW0 = jax.lax.broadcasted_iota(jnp.int32, (seg, sub, 128), 0)
+        BIG = jnp.int32(0x7FFFFFFF)
+        n_code_segs = codes_ref.shape[1] // seg
+        n_pair_segs = pair_ref.shape[1] // seg
+        zero = jnp.zeros((sub, 128), jnp.int32)
+        neg1 = jnp.full((sub, 128), -1, jnp.int32)
+
+        def round_step(j, carry):
+            w, cur, pend = carry  # (sub, 128)
+            use_pend = pend >= 0
+            lane_on = (w >= 0) | use_pend | (cur >= 0)
+            refill = (cur < 0) & (w >= 0)
+            cur_root = (cur >= 0) & (cur < alphabet)
+
+            # Word table: packed heads (head(w), head(w-1)) at row w —
+            # needed by refilling lanes and by lanes consuming a root
+            # (their next word's head is the row's upper field).
+            need_w = lane_on & (refill | (jnp.logical_not(use_pend)
+                                          & cur_root))
+            wt = jnp.where(need_w, w, 0)
+            s_lo = jnp.min(jnp.where(need_w, w, BIG)) // seg
+            s_hi = jnp.max(wt) // seg + 1
+
+            def scan_words(s, acc):
+                seg_codes = codes_ref[0, pl.ds(s * seg, seg)]
+                hit = (ROW0 + s * seg) == wt[None]
+                return acc + jnp.sum(jnp.where(hit, seg_codes, 0), axis=0)
+
+            # bound_mode 3/4: timing diagnostics — skip the word/pair scan
+            # (results WRONG; used to attribute per-round cost).
+            if bound_mode == 3:
+                h2v = zero
+            else:
+                h2v = jax.lax.fori_loop(s_lo, s_hi, scan_words, zero)
+            h = h2v & 0xFFF
+            hm1 = (h2v >> 12) & 0xFFF
+
+            # Slot 0: buffered byte, or the chain step on cur0.
+            cur0 = jnp.where(refill, h, cur)
+            root0 = (cur0 >= 0) & (cur0 < alphabet)
+            consume0 = (lane_on & jnp.logical_not(use_pend)
+                        & root0)
+            w1 = w - consume0.astype(jnp.int32)
+
+            # Slot-1 node for lanes whose slot 0 did not come from a pair
+            # lookup; the sentinel upper field at w == 0 (0xFFF) is
+            # unreachable because w1 < 0 guards it.
+            node1 = jnp.where(
+                use_pend,
+                jnp.where(cur >= 0, cur, jnp.where(w >= 0, h, -1)),
+                jnp.where(root0 & (w1 >= 0), hm1, -1),
+            )
+            pair_both = (lane_on & jnp.logical_not(use_pend)
+                         & (cur0 >= 0) & jnp.logical_not(root0))
+            q = jnp.where(
+                pair_both, cur0, jnp.where(node1 >= alphabet, node1, -1)
+            )
+
+            look = q >= 0
+            pt = jnp.where(look, 1 + q - first_free, 0)
+            p_lo = jnp.min(jnp.where(look, pt, BIG)) // seg
+            p_hi = jnp.max(pt) // seg + 1
+
+            def scan_pairs(s, acc):
+                seg_rows = pair_ref[0, pl.ds(s * seg, seg)]
+                hit = (ROW0 + s * seg) == pt[None]
+                return acc + jnp.sum(jnp.where(hit, seg_rows, 0), axis=0)
+
+            if bound_mode == 4:
+                pv = zero
+            else:
+                pv = jax.lax.fori_loop(p_lo, p_hi, scan_pairs, zero)
+            pdone = (pv >> 28) != 0
+            pnext = (pv >> 16) & 0xFFF
+            pb1 = (pv >> 8) & 0xFF
+            pb0 = pv & 0xFF
+
+            node1_root = (node1 >= 0) & (node1 < alphabet)
+            node1_pair = node1 >= alphabet
+            b0 = jnp.where(
+                use_pend, pend,
+                jnp.where(root0, cur0, pb0),
+            )
+            b1 = jnp.where(
+                pair_both, pb1,
+                jnp.where(node1_root, node1,
+                          jnp.where(node1_pair, pb0, 0)),
+            )
+            out_ref[0, j] = jnp.where(
+                lane_on, (b0 & 0xFF) | ((b1 & 0xFF) << 8), 0
+            )
+
+            fin_pair = (pair_both | node1_pair) & pdone
+            pend = jnp.where(lane_on & node1_pair, pb1, neg1)
+            cur = jnp.where(
+                lane_on & (pair_both | node1_pair)
+                & jnp.logical_not(pdone),
+                pnext, neg1,
+            )
+            w = w1 - (node1_root | fin_pair).astype(jnp.int32)
+            return w, cur, pend
+
+        w, cur, pend = jax.lax.fori_loop(
+            0, cell, round_step,
+            (state_ref[0], state_ref[1], state_ref[2]),
+        )
+        state_ref[0] = w
+        state_ref[1] = cur
+        state_ref[2] = pend
+
+        @pl.when(last_cell)
+        def _dump():
+            for r in range(3):
+                sout_ref[0, r] = state_ref[r]
+
+    return kernel
+
+
+def decode_pass2_stride2(codes, pair, n_codes, totals, block_size: int,
+                         alphabet: int = 256, interpret: bool = False,
+                         group: int = 2048, cell: int = CELL,
+                         seg: int = 256, first_free: int | None = None,
+                         r_seg_max: int = 8192, bound_mode: int = 0):
+    """Stride-2 all-device pass 2: packed byte-pair chain walk.
+
+    Same contract as :func:`decode_pass2_device` with ``variable=False``
+    (unit-local rows: the epoch-split and fixed-flavor layout), but
+    ``pair`` must hold the stride-2 descriptors from pass 1's
+    ``pair2=True`` mode.  Rounds emit two bytes, halving both scans per
+    byte.  TWO dispatches for the same reason as the stride-1 path (the
+    r4 shift+flip+transpose miscompile)."""
+    N = codes.shape[0]
+    if first_free is None:
+        first_free = FIRST_FREE
+    R0 = ((block_size + 1) // 2 + cell - 1) // cell * cell  # rounds
+    shifted = _pass2_walk_shift2(
+        codes, pair, n_codes, totals, R0, alphabet, interpret, group, cell,
+        seg, first_free, r_seg_max, bound_mode,
+    )
+    r_seg = min(R0, r_seg_max)
+    R2 = (-(-R0 // r_seg)) * r_seg
+    return _pass2_finalize(shifted, N=N, R=2 * R2, block_size=block_size)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("R0", "alphabet", "interpret", "group", "cell",
+                     "seg", "first_free", "r_seg_max", "bound_mode"),
+)
+def _pass2_walk_shift2(codes, pair, n_codes, totals, R0: int,
+                       alphabet: int, interpret: bool, group: int,
+                       cell: int, seg: int, first_free: int,
+                       r_seg_max: int, bound_mode: int = 0):
+    """Dispatch 1 of the stride-2 pass 2: head-pair prep + walk + shift."""
+    N, S = codes.shape
+    sub = group // 128
+    G = N // group
+
+    G1, Sp, sub1, _ = pair.shape
+    assert Sp == S and G1 * sub1 == G * sub
+    # Packed double heads: row w = head(w) | head(w-1) << 12 (sentinel
+    # 0xFFF above row 0, unreachable: w-1 < 0 guards it).
+    prev = jnp.concatenate(
+        [jnp.full((N, 1), 0xFFF, codes.dtype), codes[:, :-1]], axis=1
+    )
+    codes = codes | (prev << 12)
+    if S % seg:
+        # Pad both tables to whole segments (see _pass2_walk_shift).
+        padn = seg - S % seg
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((N, padn), codes.dtype)], axis=1
+        )
+        pair = jnp.concatenate(
+            [pair, jnp.zeros((G1, padn, sub1, 128), pair.dtype)], axis=1
+        )
+        S += padn
+    if sub1 != sub:
+        assert sub1 % sub == 0, (sub1, sub)
+        f = sub1 // sub
+        pair = pair.reshape(G1, S, f, sub, 128).transpose(0, 2, 1, 3, 4)
+        pair = pair.reshape(G, S, sub, 128)
+
+    x = codes.reshape(G, sub, 128, S).transpose(0, 3, 1, 2)
+    w0 = (n_codes.astype(jnp.int32) - 1).reshape(G, sub, 128)
+    state = jnp.stack(
+        [w0, jnp.full((G, sub, 128), -1, jnp.int32),
+         jnp.full((G, sub, 128), -1, jnp.int32)], axis=1,
+    )
+
+    # Round-segment the walk exactly like the stride-1 path (the >= ~16k
+    # round miscompile containment); rounds are halved so most shapes fit
+    # one segment.
+    assert r_seg_max % cell == 0
+    r_seg = min(R0, r_seg_max)
+    n_rseg = -(-R0 // r_seg)
+    R2 = n_rseg * r_seg
+
+    def run_groups(xg, pairg, sg, Gi):
+        return pl.pallas_call(
+            _make_pass2_kernel2(seg, alphabet, first_free, bound_mode),
+            grid=(Gi, r_seg // cell),
+            in_specs=[
+                pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
+                pl.BlockSpec((1, S, sub, 128), lambda g, c: (g, 0, 0, 0)),
+                pl.BlockSpec((1, 3, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            ],
+            out_specs=[
+                pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
+                pl.BlockSpec((1, 3, sub, 128), lambda g, c: (g, 0, 0, 0)),
+            ],
+            out_shape=[
+                jax.ShapeDtypeStruct((Gi, r_seg, sub, 128), jnp.int32),
+                jax.ShapeDtypeStruct((Gi, 3, sub, 128), jnp.int32),
+            ],
+            scratch_shapes=[pltpu.VMEM((3, sub, 128), jnp.int32)],
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=126 * 1024 * 1024,
+            ),
+            interpret=interpret,
+        )(xg, pairg, sg)
+
+    gmax = SUPER_GROUP_MAX
+    g0 = G if G <= gmax else max(
+        (g for g in range(1, gmax + 1) if G % g == 0)
+    )
+    rev_parts = []
+    for _si in range(n_rseg):
+        if g0 == G:
+            rev_i, state = run_groups(x, pair, state, G)
+        else:
+            nsg = G // g0
+            rev_i, state = jax.lax.map(
+                lambda a: run_groups(a[0], a[1], a[2], g0),
+                (x.reshape(nsg, g0, S, sub, 128),
+                 pair.reshape(nsg, g0, S, sub, 128),
+                 state.reshape(nsg, g0, 3, sub, 128)),
+            )
+            rev_i = rev_i.reshape(G, r_seg, sub, 128)
+            state = state.reshape(G, 3, sub, 128)
+        rev_parts.append(rev_i)
+    rev = rev_parts[0] if n_rseg == 1 else jnp.concatenate(rev_parts, axis=1)
+
+    # Unpack the byte pairs (row j -> reversed-stream positions 2j, 2j+1),
+    # then the per-lane tail shift as in the stride-1 path.
+    lo = rev & 0xFF
+    hi = (rev >> 8) & 0xFF
+    rev = jnp.stack([lo, hi], axis=2).reshape(G, 2 * R2, sub, 128)
+
+    from lzw_tpu.kernels.common import shift_columns_jax
+
+    rev = rev.reshape(G, 2 * R2, group)
+    shifts = (2 * R2 - totals.reshape(G, group)).astype(jnp.int32)
+    return jax.vmap(lambda v, s: shift_columns_jax(v, s, fill=0))(
+        rev, shifts
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "alphabet", "interpret", "group", "cell",
@@ -1045,7 +1428,10 @@ def _pass2_walk_shift(codes, pair, n_codes, totals, block_size: int,
     # seen live here at G=16/64 KiB: garbage output, interpret correct).
     # Run super-groups of at most 2 grid groups through lax.map — the
     # G <= 2 shape is the one verified correct on the chip.
-    g0 = G if G <= 2 else (2 if G % 2 == 0 else 1)
+    gmax = SUPER_GROUP_MAX
+    g0 = G if G <= gmax else max(
+        (g for g in range(1, gmax + 1) if G % g == 0)
+    )
     rev_parts = []
     for _si in range(n_rseg):
         if g0 == G:

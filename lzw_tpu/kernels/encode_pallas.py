@@ -69,6 +69,10 @@ SSEG = 64  # stage-scan segment rows: the stage holds only rows [0, j) live
 HOLE = 0
 FIRST_FREE = 256
 DYN_CODES = MAX_TABLE_SIZE - FIRST_FREE  # 3840 dynamic entries
+# Max grid groups per compiled program before the driver serializes through
+# lax.map super-groups (the r3 G>=3 miscompile containment).  Read at trace
+# time; A/B scripts flip it (with jax.clear_caches()) to probe retirement.
+SUPER_GROUP_MAX = 2
 
 
 def _make_kernel(seg: int, spec_key):
@@ -986,9 +990,14 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
     # wrong output in every group; raw kernel slots verified correct
     # un-jitted; the isolated compaction verified correct jitted — a
     # shape-triggered XLA/relay compile issue, r3).  Run super-groups of at
-    # most 2 grid groups through lax.map: the per-iteration program is the
-    # G<=2 shape that is verified correct end-to-end on the chip.
-    g0 = G if G <= 2 else (2 if G % 2 == 0 else 1)
+    # most SUPER_GROUP_MAX grid groups through lax.map: the per-iteration
+    # program is the G<=2 shape that is verified correct end-to-end on the
+    # chip.  (The r4 repro no longer fires at chip-feasible shapes; the
+    # serialization is retained pending the guarded retirement A/B.)
+    gmax = SUPER_GROUP_MAX
+    g0 = G if G <= gmax else max(
+        (g for g in range(1, gmax + 1) if G % g == 0)
+    )
     if g0 == G:
         codes, errs = _scan_chunks(
             xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key, R,

@@ -65,3 +65,108 @@ def test_assemble_epochs_places_disjoint_parts():
         exp[: t1[i]] = p1[i, : t1[i]]
         exp[t1[i] : t1[i] + t2[i]] = p2[i, : t2[i]]
         assert (out[i] == exp).all(), i
+
+
+class TestStride2:
+    """Stride-2 pass 2 (r5): pair² descriptors + packed double-head refill,
+    two bytes per round."""
+
+    def _fixed_roundtrip(self, datas, block_size, cell=64, seg=64):
+        from lzw_tpu.ops import reference as oracle
+        from lzw_tpu.spec import Endianness
+
+        spec = LzwSpec.fixed(Endianness.LITTLE)
+        pls = [oracle.encode_bytes(d, spec) for d in datas]
+        N, group = 128, 128
+        pb = ((max(len(p) for p in pls) + 2) // 3) * 3
+        payloads = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        for i, p in enumerate(pls):
+            payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        w, nc, tot, errs, _, (pair, codes) = dp.decode_pass1_fixed_tpu(
+            jnp.asarray(payloads), jnp.asarray(plens), block_size,
+            little=True, interpret=True, group=group, cell=cell, seg=seg,
+            pair2=True,
+        )
+        assert not np.asarray(errs)[: len(datas)].any()
+        out = dp.decode_pass2_stride2(
+            codes, pair, nc, tot, block_size, interpret=True, group=group,
+            cell=cell, seg=seg, first_free=256,
+        )
+        out, tot = np.asarray(out), np.asarray(tot)
+        return [out[i, : tot[i]].tobytes() for i in range(len(datas))]
+
+    def test_fixed_stride2_mixed(self):
+        rng = np.random.default_rng(21)
+        datas = [
+            rng.integers(0, 256, size=int(n)).astype(np.uint8).tobytes()
+            for n in rng.integers(0, 129, 6)
+        ] + [
+            b"a" * 128,                    # KwKwK ladder, odd/even words
+            (b"ab" * 64),                  # 2-cycles
+            bytes([0]),                    # single byte (odd total)
+            b"",                           # empty
+            (b"xyz" * 43)[:128],           # 3-cycle tail
+        ]
+        got = self._fixed_roundtrip(datas, 128)
+        for i, d in enumerate(datas):
+            assert got[i] == d, f"block {i}"
+
+    def test_variable_stride2_vs_stride1(self):
+        # Equivalence of the two pass-2 engines over the same pass 1.
+        from lzw_tpu.ops import reference as oracle
+
+        spec = LzwSpec.gif(7)
+        rng = np.random.default_rng(22)
+        datas = [
+            rng.integers(0, 128, size=int(n)).astype(np.uint8).tobytes()
+            for n in rng.integers(1, 500, 4)
+        ] + [b"q" * 501, (b"no" * 250)[:499]]
+        pls = [oracle.encode_bytes(d, spec) for d in datas]
+        N = 128
+        pb = max(len(p) for p in pls)
+        payloads = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        for i, p in enumerate(pls):
+            payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        counts, strict, sched_arr, S = dp.prepare_variable_decode(
+            payloads, plens, spec
+        )
+        assert strict[: len(datas)].all()
+        outs = {}
+        for stride2 in (False, True):
+            out, tot, errs, _, _ok = dp.decode_variable_epochs_run(
+                payloads, counts, sched_arr, spec, S, 512,
+                interpret=True, group=128, cell=64, seg=64, group2=128,
+                seg2=64, stride2=stride2,
+            )
+            assert not np.asarray(errs)[: len(datas)].any()
+            outs[stride2] = (np.asarray(out), np.asarray(tot))
+        assert (outs[True][1][: len(datas)]
+                == outs[False][1][: len(datas)]).all()
+        for i, d in enumerate(datas):
+            assert outs[True][0][i, : outs[True][1][i]].tobytes() == d
+            assert (outs[True][0][i] == outs[False][0][i]).all()
+
+    def test_variable_stride2_multi_epoch(self):
+        # A stream crossing a CLEAR reset: per-epoch units, stride-2 walk.
+        from lzw_tpu.ops import reference as oracle
+        from lzw_tpu.spec import Endianness
+
+        spec = LzwSpec.variable(8, Endianness.BIG)
+        rng = np.random.default_rng(23)
+        data = rng.integers(0, 256, size=6000).astype(np.uint8).tobytes()
+        p = oracle.encode_bytes(data, spec)
+        N = 128
+        payloads = np.zeros((N, len(p)), np.uint8)
+        plens = np.zeros(N, np.int32)
+        payloads[0] = np.frombuffer(p, np.uint8)
+        plens[0] = len(p)
+        out, tot, errs, _, strict = dp.decode_variable_all_device(
+            payloads, plens, spec, 8192, interpret=True, group=128,
+            cell=512, seg=128, group2=128, seg2=128,
+        )
+        assert strict[0] and not np.asarray(errs)[0]
+        assert np.asarray(out)[0, : np.asarray(tot)[0]].tobytes() == data
