@@ -56,7 +56,7 @@ from lzw_tpu.spec import MAX_TABLE_SIZE
 __all__ = [
     "decode_pass1_fixed_tpu", "decode_pass1_variable_tpu",
     "decode_pass2_device", "decode_pass2_stride2",
-    "decode_variable_all_device",
+    "decode_variable_all_device", "decode_variable_epochs_pooled",
     "prepare_variable_decode", "decode_variable_device_run",
     "decode_variable_epochs_run", "epoch_bounds", "unpack12",
     "KIND_COPY", "KIND_LIT", "KIND_HOLE",
@@ -635,25 +635,27 @@ def decode_variable_device_run(payloads, counts, sched_arr, spec, S: int,
 def decode_variable_all_device(payloads, plens, spec, block_size: int,
                                interpret: bool = False,
                                group: int = GROUP_VAR, cell: int = CELL,
-                               seg: int = 128, group2: int = 2048,
-                               seg2: int = 256, epoch_split: bool = True):
+                               seg: int = 128, group2: int = 1024,
+                               seg2: int = 32, epoch_split: bool = True,
+                               pooled: bool = True):
     """Whole variable-flavor decode on the chip (strict streams).
 
     Pass 1 builds the copy descriptors and pair table; pass 2 chain-walks
-    them with row-matched lookups.  With ``epoch_split`` (the default since
-    r4) pass 2 runs per dictionary epoch over (block, epoch) units, which
-    bounds the scan windows by one epoch's table; the legacy whole-stream
-    pass 2 (per-word epoch start in the code matrix's high bits) remains
-    for A/B.  Returns (blocks u8[N, block_size], totals, errs, err_codes,
-    strict); non-strict streams must go through a fallback decoder.
+    them with row-matched lookups.  The default engine (r5) is the
+    sorted-pool stride-2 epoch walk (:func:`decode_variable_epochs_pooled`);
+    ``pooled=False`` keeps the per-epoch dispatches, ``epoch_split=False``
+    the legacy whole-stream pass 2 — both for A/B.  Returns (blocks
+    u8[N, block_size], totals, errs, err_codes, strict); non-strict streams
+    must go through a fallback decoder.
     """
     import numpy as np
 
     counts, strict, sched_arr, S = prepare_variable_decode(
         payloads, plens, spec, cell
     )
-    run = decode_variable_epochs_run if epoch_split \
-        else decode_variable_device_run
+    run = (decode_variable_epochs_pooled if (epoch_split and pooled)
+           else decode_variable_epochs_run if epoch_split
+           else decode_variable_device_run)
     out, totals, errs, err_codes, data_ok = run(
         payloads, counts, sched_arr, spec, S, block_size,
         interpret=interpret, group=group, cell=cell, seg=seg, group2=group2,
@@ -830,6 +832,143 @@ def decode_variable_epochs_run(payloads, counts, sched_arr, spec, S: int,
             tuple(parts), tuple(cums), Bp, block_size, len(parts)
         )
     return out, totals, errs, err_codes, data_ok
+
+
+@functools.partial(jax.jit, static_argnames=("bounds", "L"))
+def _pool_units(dense_n, pair_n, counts, bounds, L: int):
+    """Slice per-epoch unit columns out of whole-stream rows.
+
+    dense_n/pair_n: i32[N, S] (block-major).  Returns (dense u, pair u,
+    nloc u) as i32[E*N, L] in epoch-major unit order (u = e*N + block),
+    zero-padded past each epoch's span.
+    """
+    N, S = dense_n.shape
+    dps, pps, nls = [], [], []
+    for (a, b) in bounds:
+        w = b - a
+        pad = ((0, 0), (0, L - w))
+        dps.append(jnp.pad(dense_n[:, a:b], pad))
+        pps.append(jnp.pad(pair_n[:, a:b], pad))
+        nls.append(jnp.clip(counts - a, 0, w))
+    return (jnp.concatenate(dps, axis=0), jnp.concatenate(pps, axis=0),
+            jnp.concatenate(nls, axis=0))
+
+
+def decode_variable_epochs_pooled(payloads, counts, sched_arr, spec, S: int,
+                                  block_size: int, interpret: bool = False,
+                                  group: int = GROUP_VAR, cell: int = CELL,
+                                  seg: int = 128, cell2: int = CELL,
+                                  seg2: int = 32, group2: int = 1024,
+                                  batch: int = 2048):
+    """Sorted-pool epoch-split decode (r5 default on hardware).
+
+    Same contract as :func:`decode_variable_epochs_run`, but the (block,
+    epoch) units of ALL epochs are pooled, sorted by output size, and
+    dispatched in same-size batches.  Two effects (EVOLUTION.md r4
+    "remaining levers"): padding rounds track each batch's own maximum
+    instead of the global epoch maximum, and — the bigger one — lanes in
+    an instance decode at similar rates, so the word-table scan's
+    [min, max] row window stays tight (full epochs all hold the same code
+    count; a unit's byte total IS its rate, so sorting by total aligns
+    whole trajectories).  Unit tables move through two row-gathers
+    (~10 GB/s on chip, measured) — noise against the scan savings.
+    """
+    import numpy as np
+
+    N = payloads.shape[0]
+    group = max(128, min(group, N))
+    while N % group and group > 128:
+        group //= 2
+    cdev = counts.astype(jnp.int32) if isinstance(counts, jax.Array) \
+        else jnp.asarray(np.asarray(counts, np.int32))
+    words, stats, pair, dense, data_ok = _variable_pass1_from_payloads(
+        jnp.asarray(payloads), cdev, jnp.asarray(sched_arr), spec, S,
+        block_size, interpret, group, cell, seg, pair2=True,
+    )
+    totals, errs, err_codes = stats[:, 0], stats[:, 1], stats[:, 2]
+    te = _epoch_totals(words, spec, S)
+    te_np = np.asarray(te)  # the one host sync: N x E i32
+    bounds = epoch_bounds(spec, S)
+    E = len(bounds)
+    L0 = max(b - a for (a, b) in bounds)
+    L = ((L0 + seg2 - 1) // seg2) * seg2
+
+    G1, Sp, sub1, _ = pair.shape
+    pair_n = pair.transpose(0, 2, 3, 1).reshape(G1 * sub1 * 128, Sp)
+    dense_u, pair_u, nloc_u = _pool_units(dense, pair_n, cdev, bounds, L)
+
+    U = E * N
+    te_flat = te_np.T.reshape(U)  # epoch-major, matches _pool_units order
+    order = np.argsort(te_flat, kind="stable").astype(np.int32)
+    inv = np.empty_like(order)
+    inv[order] = np.arange(U, dtype=np.int32)
+    od = jnp.asarray(order)
+    dense_s = jnp.take(dense_u, od, axis=0)
+    pair_s = jnp.take(pair_u, od, axis=0)
+    nloc_s = jnp.take(nloc_u, od, axis=0)
+    te_s_np = te_flat[order]
+    te_dev = jnp.asarray(te_flat)
+    te_sorted_dev = jnp.take(te_dev, od)
+
+    batch = max(group2, min(batch, U))
+    while U % batch and batch > group2:
+        batch //= 2
+    g2 = min(group2, batch)
+    outs = []
+    widths = []
+    Bp2 = ((block_size + cell2 - 1) // cell2) * cell2
+    for k in range(U // batch):
+        r_need = int(te_s_np[(k + 1) * batch - 1])  # sorted: last is max
+        if r_need <= 0:
+            outs.append(None)
+            widths.append(0)
+            continue
+        # Sorted batches track their own maxima, so buckets can be fine:
+        # 2048-byte steps (1024 rounds) bound both padding (< 2048 B/unit)
+        # and compile diversity (<= 64 programs at 128 KiB blocks, all
+        # persistent-cached).
+        r_need = max(-(-r_need // 2048) * 2048, cell2)
+        r_need = min(r_need, -(-Bp2 // 2048) * 2048)
+        rows = slice(k * batch, (k + 1) * batch)
+        out_k = decode_pass2_stride2(
+            dense_s[rows], _as_pair4d(pair_s[rows], g2), nloc_s[rows],
+            te_sorted_dev[rows], r_need, alphabet=spec.alphabet_size,
+            interpret=interpret, group=g2, cell=cell2, seg=seg2,
+            first_free=spec.first_free_code,
+        )
+        outs.append(out_k)
+        widths.append(out_k.shape[1])
+    Rmax = max(widths) if any(widths) else 0
+    if Rmax == 0:
+        out = jnp.zeros((N, block_size), jnp.uint8)
+        return out, totals, errs, err_codes, data_ok
+    pool_parts = []
+    for k, out_k in enumerate(outs):
+        if out_k is None:
+            pool_parts.append(jnp.zeros((batch, Rmax), jnp.uint8))
+        elif out_k.shape[1] < Rmax:
+            pool_parts.append(
+                jnp.pad(out_k, ((0, 0), (0, Rmax - out_k.shape[1])))
+            )
+        else:
+            pool_parts.append(out_k)
+    out_sorted = jnp.concatenate(pool_parts, axis=0)
+    out_pool = jnp.take(out_sorted, jnp.asarray(inv), axis=0)
+    cum = np.cumsum(te_np, axis=1) - te_np  # exclusive per-block offsets
+    parts = [out_pool[e * N : (e + 1) * N] for e in range(E)]
+    cums = [jnp.asarray(cum[:, e].astype(np.int32)) for e in range(E)]
+    Bp = ((block_size + cell2 - 1) // cell2) * cell2
+    Bp = max(Bp, Rmax)
+    out = _assemble_epochs(tuple(parts), tuple(cums), Bp, block_size, E)
+    return out, totals, errs, err_codes, data_ok
+
+
+def _as_pair4d(pair_rows, group: int):
+    """(Nb, L) unit-major pair rows -> the walker's (G, L, sub, 128)."""
+    Nb, L = pair_rows.shape
+    sub = group // 128
+    G = Nb // group
+    return pair_rows.reshape(G, sub, 128, L).transpose(0, 3, 1, 2)
 
 
 # --------------------------------------------------------------------------- #

@@ -248,7 +248,7 @@ def _clamp_sseg(sseg: int | None, cell: int) -> int | None:
 
 def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
                    seg, sub, spec_key, sseg=None, range_test="maxval",
-                   n_base=None, row_iota=None):
+                   n_base=None, row_iota=None, eq16=None):
     """The staged-append parse step, shared by the single-launch and chunked
     kernels.  ``off`` is the global stream index of this cell's step 0 (a
     traced scalar: ``c*cell`` single-launch, ``chunk0 + c*cell`` chunked).
@@ -282,7 +282,19 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
     `encoder.rs:120-143`; the compaction is stable; CLEAR resets wipe whole
     columns), so rows [0, n_base*seg) store the bare 20-bit key (hole -1)
     and match with a 3-op equality scan whose matched ROW is the code —
-    25% fewer VPU ops than the 4-op range test on the dominant scan."""
+    25% fewer VPU ops than the 4-op range test on the dominant scan.
+
+    ``eq16`` (chunked kernels): the eq-region runs on TWO i16 planes
+    (key & 0x7FFF, key >> 15; holes stay -1 in the high plane, which a
+    5-bit key-high can never equal) — 5 half-rate ops/row = 2.5 i32-op
+    equivalents vs the 3-op i32 equality, a ~17% cut on the dominant scan
+    (`scripts/probe_i16.py` measured the 2x i16 lane-rate premise).
+    NEGATIVE RESULT on hardware (r5): Mosaic rejects the scan's axis-0
+    reduction at i16 ("Reductions over int16 not implemented"), and
+    hoisting only the compares to i16 costs MORE i32-equivalents (3.5)
+    than the straight i32 equality — the lever is blocked at the
+    toolchain, not the ALU (EVOLUTION.md "i16 wall").  Interpret mode
+    still runs it; keep ``eq16=False`` on hardware."""
     if sseg is None:
         sseg = seg
     assert range_test in ("full", "drop_ge", "maxval")
@@ -348,12 +360,29 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
         else:
             base_segs = jnp.where(live, n_base, 0)
 
-            def scan_base(s, acc):
-                rows = dense_ref[pl.ds(s * seg, seg)]
-                lm = jnp.max(
-                    jnp.where(rows == key[None], row_iota, -1), axis=0
-                )
-                return jnp.where(lm >= 0, lm + s * seg, acc)
+            if eq16 is not None:
+                klo_ref, khi_ref, iota16 = eq16
+                key_lo = (key & 0x7FFF).astype(jnp.int16)
+                key_hi = (key >> 15).astype(jnp.int16)
+
+                def scan_base(s, acc):
+                    lo = klo_ref[pl.ds(s * seg, seg)]
+                    hi = khi_ref[pl.ds(s * seg, seg)]
+                    hit = (lo == key_lo[None]) & (hi == key_hi[None])
+                    lm = jnp.max(
+                        jnp.where(hit, iota16, jnp.int16(-1)), axis=0
+                    )
+                    return jnp.where(
+                        lm >= 0, lm.astype(jnp.int32) + s * seg, acc
+                    )
+            else:
+
+                def scan_base(s, acc):
+                    rows = dense_ref[pl.ds(s * seg, seg)]
+                    lm = jnp.max(
+                        jnp.where(rows == key[None], row_iota, -1), axis=0
+                    )
+                    return jnp.where(lm >= 0, lm + s * seg, acc)
 
             row_d = jax.lax.fori_loop(0, base_segs, scan_base, neg)
 
@@ -414,6 +443,21 @@ def _stage_step_fn(x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense,
                         return 0
 
                     jax.lax.fori_loop(0, n_dense, wipe, 0)
+                    if eq16 is not None:
+                        klo_ref, khi_ref, _ = eq16
+
+                        def wipe16(s, _):
+                            lo = klo_ref[pl.ds(s * seg, seg)]
+                            hi = khi_ref[pl.ds(s * seg, seg)]
+                            klo_ref[pl.ds(s * seg, seg)] = jnp.where(
+                                reset[None], jnp.int16(0x7FFF), lo
+                            )
+                            khi_ref[pl.ds(s * seg, seg)] = jnp.where(
+                                reset[None], jnp.int16(-1), hi
+                            )
+                            return 0
+
+                        jax.lax.fori_loop(0, n_base, wipe16, 0)
                 stage_ref[:] = jnp.where(
                     reset[None], HOLE, stage_ref[:]
                 )
@@ -440,7 +484,8 @@ def _stage_append(dense_ref, stage_ref, cur_ref, cell):
     cur_ref[0] = k0 + jnp.max(cnt)
 
 
-def _make_kernel_chunk(seg: int, spec_key=None, sseg: int | None = None):
+def _make_kernel_chunk(seg: int, spec_key=None, sseg: int | None = None,
+                       eq16: bool = False):
     """Chunked staged-append kernel: ONE launch per CHUNK steps, dictionary
     state (dense table, parse state, cursor) carried as kernel I/O.
 
@@ -456,7 +501,7 @@ def _make_kernel_chunk(seg: int, spec_key=None, sseg: int | None = None):
 
     def kernel(x_ref, len_ref, chunk0_ref, dense_in_hbm, state_in_ref,
                cur_in_ref, out_ref, err_ref, dense_out_hbm, state_out_ref,
-               dense_ref, stage_ref, cur_ref, dma_sem):
+               dense_ref, stage_ref, cur_ref, dma_sem, *eq_scratch):
         g = pl.program_id(0)
         c = pl.program_id(1)
         last_cell = c == pl.num_programs(1) - 1
@@ -481,16 +526,37 @@ def _make_kernel_chunk(seg: int, spec_key=None, sseg: int | None = None):
             dma.wait()
             state_out_ref[0] = state_in_ref[0]
             cur_ref[0] = n_base * seg
+            if eq16:
+                klo_ref, khi_ref = eq_scratch
+
+                def conv(s, _):
+                    rows = dense_ref[pl.ds(s * seg, seg)]
+                    klo_ref[pl.ds(s * seg, seg)] = (
+                        rows & 0x7FFF
+                    ).astype(jnp.int16)
+                    khi_ref[pl.ds(s * seg, seg)] = (
+                        jax.lax.shift_right_arithmetic(rows, 15)
+                    ).astype(jnp.int16)
+                    return 0
+
+                jax.lax.fori_loop(0, n_base, conv, 0)
 
         stage_ref[:] = jnp.full(stage_ref.shape, HOLE, jnp.int32)
         lens = len_ref[0, 0]
         off = chunk0_ref[0] + c * cell
         n_dense = (cur_ref[0] + seg - 1) // seg
         row_iota = jax.lax.broadcasted_iota(jnp.int32, (seg, sub, 128), 0)
+        eq_refs = None
+        if eq16:
+            iota16 = jax.lax.broadcasted_iota(
+                jnp.int16, (seg, sub, 128), 0
+            )
+            eq_refs = (eq_scratch[0], eq_scratch[1], iota16)
 
         step = _stage_step_fn(
             x_ref, out_ref, dense_ref, stage_ref, lens, off, n_dense, seg,
             sub, spec_key, sseg, n_base=n_base, row_iota=row_iota,
+            eq16=eq_refs,
         )
         carry = tuple(state_out_ref[0, r] for r in range(4))
         carry = jax.lax.fori_loop(0, cell, step, carry)
@@ -951,7 +1017,8 @@ def _compact_grouped_codes(codes, errs, G, total, group, N):
 
 
 def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
-                               group, cell, seg, chunk, sseg=None):
+                               group, cell, seg, chunk, sseg=None,
+                               eq16=False):
     """Chunked pallas driver: any block size with a statically bounded table.
 
     One launch of `_make_kernel_chunk` per ``chunk`` steps; the dictionary
@@ -1001,7 +1068,7 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
     if g0 == G:
         codes, errs = _scan_chunks(
             xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key, R,
-            total, interpret,
+            total, interpret, eq16,
         )
     else:
         nsg = G // g0
@@ -1012,7 +1079,7 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
         codes_m, errs_m = jax.lax.map(
             lambda a: _scan_chunks(
                 a[0], a[1], g0, sub, n_chunks, chunk, cell, seg, sseg,
-                spec_key, R, total, interpret,
+                spec_key, R, total, interpret, eq16,
             ),
             (xs_m, l_m),
         )
@@ -1023,7 +1090,7 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
 
 
 def _scan_chunks(xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key,
-                 R, total, interpret):
+                 R, total, interpret, eq16=False):
     """One lax.scan over the chunk axis for G grid groups; returns the raw
     code slots (G, total, sub, 128) and the final error planes."""
     first_free = FIRST_FREE if spec_key is None else spec_key[0]
@@ -1038,7 +1105,7 @@ def _scan_chunks(xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key,
     offs = (jnp.arange(n_chunks, dtype=jnp.int32) * chunk)[:, None]
 
     call = pl.pallas_call(
-        _make_kernel_chunk(seg, spec_key, sseg),
+        _make_kernel_chunk(seg, spec_key, sseg, eq16),
         grid=(G, chunk // cell),
         in_specs=[
             pl.BlockSpec((1, cell, sub, 128), lambda g, c: (g, c, 0, 0)),
@@ -1068,10 +1135,12 @@ def _scan_chunks(xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key,
             pltpu.VMEM((cell, sub, 128), jnp.int32),  # per-cell stage
             pltpu.SMEM((1,), jnp.int32),              # append cursor
             pltpu.SemaphoreType.DMA,                  # table in/out copies
-        ],
+        ] + ([pltpu.VMEM(
+            ((-(-MAX_TABLE_SIZE // seg)) * seg, sub, 128), jnp.int16
+        )] * 2 if eq16 else []),                      # i16 eq-region planes
         input_output_aliases={3: 2, 4: 3},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=110 * 1024 * 1024,
+            vmem_limit_bytes=(126 if eq16 else 110) * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -1117,7 +1186,7 @@ def group_for(block_size: int) -> int:
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "little", "interpret", "group", "cell",
-                     "seg", "compact", "chunk", "sseg", "chunked"),
+                     "seg", "compact", "chunk", "sseg", "chunked", "eq16"),
 )
 def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
                             little: bool = True, interpret: bool = False,
@@ -1125,7 +1194,8 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
                             seg: int = SEG,
                             compact: str | bool = "stage",
                             chunk: int = CHUNK, sseg: int | None = SSEG,
-                            chunked: bool | None = None):
+                            chunked: bool | None = None,
+                            eq16: bool = False):
     """Fixed-12-bit block-parallel encode on TPU.
 
     Args:
@@ -1145,7 +1215,7 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
     if chunked:
         dense, counts, _, _ = _run_encode_kernel_chunked(
             blocks, lens, block_size, None, interpret, group, cell, seg,
-            chunk, sseg,
+            chunk, sseg, eq16,
         )
     else:
         dense, counts, _, _ = _run_encode_kernel(
@@ -1159,7 +1229,7 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "block_size", "interpret", "group", "cell",
-                     "seg", "compact", "chunk", "sseg", "chunked"),
+                     "seg", "compact", "chunk", "sseg", "chunked", "eq16"),
 )
 def encode_blocks_variable_codes_tpu(blocks, lens, spec,
                                      block_size: int = BLOCK_SIZE,
@@ -1170,7 +1240,8 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
                                      compact: str | bool = "stage",
                                      chunk: int = CHUNK,
                                      sseg: int | None = SSEG,
-                                     chunked: bool | None = None):
+                                     chunked: bool | None = None,
+                                     eq16: bool = False):
     """Variable-flavor block encode on TPU: dense data codes per block.
 
     The wire layout of a variable stream is a static function of the
@@ -1193,7 +1264,7 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
     if chunked:
         return _run_encode_kernel_chunked(
             blocks, lens, block_size, spec_key, interpret, group, cell, seg,
-            chunk, sseg,
+            chunk, sseg, eq16,
         )
     return _run_encode_kernel(
         blocks, lens, block_size, spec_key, interpret, group, cell, seg,

@@ -299,7 +299,7 @@ def decode_variable_nonstrict_device(payloads, plens, spec: LzwSpec,
     _t0 = _time.perf_counter()
     words, stats, pair = dp._variable_pass1(
         dense_dev, cdev, sched_dev, spec,
-        block_size, interpret, group, dp.CELL, 128,
+        block_size, interpret, group, dp.CELL, 128, pair2=True,
     )
     totals, errs, err_codes = stats[:, 0], stats[:, 1], stats[:, 2]
     te_np = np.asarray(totals)[:U]
@@ -315,11 +315,10 @@ def decode_variable_nonstrict_device(payloads, plens, spec: LzwSpec,
         r_need = max(512, 1 << (r_need - 1).bit_length())
     else:
         r_need = -(-r_need // 8192) * 8192
-    out = dp.decode_pass2_device(
+    out = dp.decode_pass2_stride2(
         dense_dev, pair, cdev, totals, min(r_need, Bp),
         alphabet=spec.alphabet_size, interpret=interpret, group=group,
-        cell=dp.CELL, seg=128, variable=False,
-        first_free=spec.first_free_code,
+        cell=dp.CELL, seg=32, first_free=spec.first_free_code,
     )
     np.asarray(out[0, :2])  # device fence (the bulk pull below is the link)
     if stage_times is not None:
