@@ -160,13 +160,26 @@ def main() -> None:
                         bufs_d, ((0, 0), (0, PB3 - bufs_d.shape[1]))
                     )
 
-                @jax.jit
+                # Stride-2 walk on sorted lanes (r5; fixed blocks all
+                # decode 4096 bytes, so sorting by code count aligns the
+                # lockstep word trajectories and is free to undo).  NOT
+                # one outer jit: pass 2 must stay its own dispatches (the
+                # r4 shift/flip fusion containment).
                 def _dec(pay_, nb_):
+                    order = jnp.argsort(nb_).astype(jnp.int32)
+                    inv = jnp.argsort(order).astype(jnp.int32)
+                    ps = jnp.take(pay_, order, axis=0)
+                    nbs = jnp.take(nb_, order)
                     w, nc, tot, de, dec_, (pair, codes) = (
-                        _dp.decode_pass1_fixed_tpu(pay_, nb_, B, little=True)
+                        _dp.decode_pass1_fixed_tpu(
+                            ps, nbs, B, little=True, pair2=True
+                        )
                     )
-                    out = _dp.decode_pass2_device(codes, pair, nc, tot, B)
-                    return out, tot, de
+                    out = _dp.decode_pass2_stride2(
+                        codes, pair, nc, tot, B, seg=32, first_free=256
+                    )
+                    return (jnp.take(out, inv, axis=0),
+                            jnp.take(tot, inv), jnp.take(de, inv))
 
                 out_d, tot_d, _ = _dec(pay, len_d)
                 np.asarray(tot_d[:4])
@@ -178,9 +191,10 @@ def main() -> None:
                     out_d, tot_d, _ = _dec(pvar, len_d)
                     np.asarray(tot_d[:4])
                     bestd = min(bestd, time.perf_counter() - t0)
-                # Round-trip gate on unperturbed rows.
-                assert (np.asarray(out_d[1:33])
-                        == np.asarray(db_d[1:33])).all(), "decode mismatch"
+                # Round-trip gate on EVERY unperturbed row (sparse
+                # corruption hides from partial asserts — r4 find).
+                assert (np.asarray(out_d[1:])
+                        == np.asarray(db_d[1:])).all(), "decode mismatch"
                 drate = Nd * B / bestd
                 extra["fixed12_decode_bytes_per_s_1chip"] = round(drate, 1)
                 extra["fixed12_decode_vs_baseline"] = round(
@@ -252,7 +266,7 @@ def main() -> None:
 
                 def _devc(p, c):
                     out, tot, errs_, _, ok_ = (
-                        _dpv.decode_variable_epochs_run(
+                        _dpv.decode_variable_epochs_pooled(
                             p, c, sched_v, gspec, S_v, BV
                         )
                     )

@@ -166,7 +166,7 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
         cdev = jnp.asarray(counts.astype(np.int32))
 
         def dec(p, c):
-            out, tot, errs, _, ok = dp.decode_variable_epochs_run(
+            out, tot, errs, _, ok = dp.decode_variable_epochs_pooled(
                 p, c, sched_arr, spec, S, B
             )
             return out, tot
@@ -201,10 +201,18 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
         nbd = jnp.tile(nb, -(-Nd // N))[:Nd]
 
         def dec(p):
+            # Stride-2 walk on lanes sorted by code count (r5; all fixed
+            # blocks decode 4096 bytes, so sorting aligns trajectories).
+            order = jnp.argsort(nbd).astype(jnp.int32)
+            inv = jnp.argsort(order).astype(jnp.int32)
             w, nc, tot, de, dec_, (pair, codes) = dp.decode_pass1_fixed_tpu(
-                p, nbd, B, little=little
+                jnp.take(p, order, axis=0), jnp.take(nbd, order), B,
+                little=little, pair2=True,
             )
-            return dp.decode_pass2_device(codes, pair, nc, tot, B), tot
+            out = dp.decode_pass2_stride2(
+                codes, pair, nc, tot, B, seg=32, first_free=256
+            )
+            return jnp.take(out, inv, axis=0), jnp.take(tot, inv)
 
         out, tot = dec(pay)
         np.asarray(tot[:4])
@@ -218,7 +226,9 @@ def bench_device(spec, name, corpus_name, data, results, repeats=3):
             return time.perf_counter() - t0
 
         bestd = min(timed_dec(r) for r in range(repeats))
-        assert (np.asarray(out[1:9]) == blocks[1:9]).all(), "round trip"
+        assert (np.asarray(out[1:])
+                == np.tile(blocks, (-(-Nd // N), 1))[:Nd][1:]).all(), \
+            "round trip"
         results.append(_row(RunMetrics(
             "decode", name, int(np.asarray(nbd).astype(np.int64).sum()),
             Nd * B, bestd, n_blocks=Nd, n_devices=1,
@@ -287,7 +297,7 @@ def bench_device_64k(spec, name, corpus_name, data, results, repeats=2):
     cdev = jnp.asarray(counts.astype(np.int32))
 
     def dec(p, c):
-        out, tot, *_ = dp.decode_variable_epochs_run(
+        out, tot, *_ = dp.decode_variable_epochs_pooled(
             p, c, sched_arr, spec, S, B
         )
         return out, tot

@@ -834,7 +834,28 @@ def decode_variable_epochs_run(payloads, counts, sched_arr, spec, S: int,
     return out, totals, errs, err_codes, data_ok
 
 
-@functools.partial(jax.jit, static_argnames=("bounds", "L"))
+@functools.partial(jax.jit, static_argnames=("bounds", "L", "batch"))
+def _pool_sort_device(dense, pair, counts, te, bounds, L: int, batch: int):
+    """Pool (block, epoch) unit columns and sort them by byte total, all on
+    device — one fused program; returns the sorted unit tables, the inverse
+    permutation, and the per-batch maxima (the only values the host needs).
+    """
+    N = dense.shape[0]
+    G1, Sp, sub1, _ = pair.shape
+    pair_n = pair.transpose(0, 2, 3, 1).reshape(G1 * sub1 * 128, Sp)
+    dense_u, pair_u, nloc_u = _pool_units(dense, pair_n, counts, bounds, L)
+    U = len(bounds) * N
+    te_flat = te.T.reshape(U)
+    order = jnp.argsort(te_flat, stable=True).astype(jnp.int32)
+    inv = jnp.argsort(order, stable=True).astype(jnp.int32)
+    te_sorted = jnp.take(te_flat, order)
+    batch_maxes = te_sorted[batch - 1 :: batch]
+    return (jnp.take(dense_u, order, axis=0),
+            jnp.take(pair_u, order, axis=0),
+            jnp.take(nloc_u, order, axis=0),
+            te_sorted, inv, batch_maxes)
+
+
 def _pool_units(dense_n, pair_n, counts, bounds, L: int):
     """Slice per-epoch unit columns out of whole-stream rows.
 
@@ -887,38 +908,29 @@ def decode_variable_epochs_pooled(payloads, counts, sched_arr, spec, S: int,
     )
     totals, errs, err_codes = stats[:, 0], stats[:, 1], stats[:, 2]
     te = _epoch_totals(words, spec, S)
-    te_np = np.asarray(te)  # the one host sync: N x E i32
     bounds = epoch_bounds(spec, S)
     E = len(bounds)
     L0 = max(b - a for (a, b) in bounds)
     L = ((L0 + seg2 - 1) // seg2) * seg2
-
-    G1, Sp, sub1, _ = pair.shape
-    pair_n = pair.transpose(0, 2, 3, 1).reshape(G1 * sub1 * 128, Sp)
-    dense_u, pair_u, nloc_u = _pool_units(dense, pair_n, cdev, bounds, L)
-
     U = E * N
-    te_flat = te_np.T.reshape(U)  # epoch-major, matches _pool_units order
-    order = np.argsort(te_flat, kind="stable").astype(np.int32)
-    inv = np.empty_like(order)
-    inv[order] = np.arange(U, dtype=np.int32)
-    od = jnp.asarray(order)
-    dense_s = jnp.take(dense_u, od, axis=0)
-    pair_s = jnp.take(pair_u, od, axis=0)
-    nloc_s = jnp.take(nloc_u, od, axis=0)
-    te_s_np = te_flat[order]
-    te_dev = jnp.asarray(te_flat)
-    te_sorted_dev = jnp.take(te_dev, od)
-
     batch = max(group2, min(batch, U))
     while U % batch and batch > group2:
         batch //= 2
+
+    # Sort + gathers run on device; the ONLY host sync is the per-batch
+    # maxima (U/batch i32 scalars, needed for the static round counts).
+    (dense_s, pair_s, nloc_s, te_sorted_dev, inv,
+     batch_maxes) = _pool_sort_device(
+        dense, pair, cdev, te, bounds, L, batch,
+    )
+    te_bm = np.asarray(batch_maxes)
+
     g2 = min(group2, batch)
     outs = []
     widths = []
     Bp2 = ((block_size + cell2 - 1) // cell2) * cell2
     for k in range(U // batch):
-        r_need = int(te_s_np[(k + 1) * batch - 1])  # sorted: last is max
+        r_need = int(te_bm[k])  # sorted: each batch's last is its max
         if r_need <= 0:
             outs.append(None)
             widths.append(0)
@@ -953,10 +965,10 @@ def decode_variable_epochs_pooled(payloads, counts, sched_arr, spec, S: int,
         else:
             pool_parts.append(out_k)
     out_sorted = jnp.concatenate(pool_parts, axis=0)
-    out_pool = jnp.take(out_sorted, jnp.asarray(inv), axis=0)
-    cum = np.cumsum(te_np, axis=1) - te_np  # exclusive per-block offsets
+    out_pool = jnp.take(out_sorted, inv, axis=0)
+    cum = jnp.cumsum(te, axis=1) - te  # exclusive per-block offsets
     parts = [out_pool[e * N : (e + 1) * N] for e in range(E)]
-    cums = [jnp.asarray(cum[:, e].astype(np.int32)) for e in range(E)]
+    cums = [cum[:, e] for e in range(E)]
     Bp = ((block_size + cell2 - 1) // cell2) * cell2
     Bp = max(Bp, Rmax)
     out = _assemble_epochs(tuple(parts), tuple(cums), Bp, block_size, E)
