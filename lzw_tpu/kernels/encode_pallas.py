@@ -64,6 +64,14 @@ SSEG = 64  # stage-scan segment rows: the stage holds only rows [0, j) live
 # at step j, so scanning it in smaller segments bounded by j skips the dead
 # tail of the 512-row buffer; r4 chip sweep: 64 beats the old 128 default
 # by ~3% on fixed-12 (242 vs 236 MiB/s) and both clear 2x the reference
+# r5: the single-launch STAGE path (4 KiB blocks) runs fastest at finer
+# tiles — cell 256 compiles cleanly now (the r4 pathological-compile
+# blocker is gone) and with sseg 32 / seg 256 measures 255.9 MiB/s vs
+# 241.8 at the old defaults (2.13x vs 2.02x the reference anchor); the
+# chunked driver keeps the 512/512/64 config (its stage is DMA-paced).
+CELL_STAGE = 256
+SEG_STAGE = 256
+SSEG_STAGE = 32
 # Table hole: entry code fields are always >= 256 (first dynamic code), so a
 # zero word can never satisfy the range test below.
 HOLE = 0
@@ -1178,6 +1186,19 @@ def _scan_chunks(xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key,
     return codes, errs_all[-1]
 
 
+def _stage_knobs(chunked: bool, compact, cell, seg, sseg):
+    """Resolve tile knobs: the single-launch stage path defaults to the
+    finer r5-tuned tiles; the chunked driver keeps the coarser config."""
+    stage = (not chunked) and compact == "stage"
+    if cell is None:
+        cell = CELL_STAGE if stage else CELL
+    if seg is None:
+        seg = SEG_STAGE if stage else SEG
+    if sseg is None:
+        sseg = SSEG_STAGE if stage else SSEG
+    return cell, seg, sseg
+
+
 def group_for(block_size: int) -> int:
     """Blocks-per-instance the kernels expect callers to pad to."""
     return GROUP if block_size <= BLOCK_SIZE else GROUP_CHUNKED
@@ -1190,10 +1211,11 @@ def group_for(block_size: int) -> int:
 )
 def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
                             little: bool = True, interpret: bool = False,
-                            group: int | None = None, cell: int = CELL,
-                            seg: int = SEG,
+                            group: int | None = None,
+                            cell: int | None = None,
+                            seg: int | None = None,
                             compact: str | bool = "stage",
-                            chunk: int = CHUNK, sseg: int | None = SSEG,
+                            chunk: int = CHUNK, sseg: int | None = None,
                             chunked: bool | None = None,
                             eq16: bool = False):
     """Fixed-12-bit block-parallel encode on TPU.
@@ -1212,6 +1234,7 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
         group = group_for(block_size)
     if chunked is None:
         chunked = block_size > BLOCK_SIZE
+    cell, seg, sseg = _stage_knobs(chunked, compact, cell, seg, sseg)
     if chunked:
         dense, counts, _, _ = _run_encode_kernel_chunked(
             blocks, lens, block_size, None, interpret, group, cell, seg,
@@ -1235,11 +1258,11 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
                                      block_size: int = BLOCK_SIZE,
                                      interpret: bool = False,
                                      group: int | None = None,
-                                     cell: int = CELL,
-                                     seg: int = SEG,
+                                     cell: int | None = None,
+                                     seg: int | None = None,
                                      compact: str | bool = "stage",
                                      chunk: int = CHUNK,
-                                     sseg: int | None = SSEG,
+                                     sseg: int | None = None,
                                      chunked: bool | None = None,
                                      eq16: bool = False):
     """Variable-flavor block encode on TPU: dense data codes per block.
@@ -1261,6 +1284,7 @@ def encode_blocks_variable_codes_tpu(blocks, lens, spec,
         group = group_for(block_size)
     if chunked is None:
         chunked = block_size > BLOCK_SIZE
+    cell, seg, sseg = _stage_knobs(chunked, compact, cell, seg, sseg)
     if chunked:
         return _run_encode_kernel_chunked(
             blocks, lens, block_size, spec_key, interpret, group, cell, seg,

@@ -11,16 +11,15 @@ This script calls the internal `_scan_chunks` directly at G = 4
 (bypassing the guard) and compares against the guarded production path
 on identical data.
 
-r4 NOTE: the bug did NOT reproduce at the shapes this script can fit
-on the dev chip (G=3/group=1024/B=64KiB and G=4/group=512/B=16KiB both
-computed correctly; the r3 trigger shape went unrecorded and G=3 at
-group=2048 OOMs here).  Either the toolchain moved, the trigger needs
-memory pressure, or the r3 symptom's real culprit was the same XLA
-shift/flip fusion family later root-caused in r4
-(repro_miscompile_shift_flip.py) via `_compact_grouped_codes`'s roll
-cascades.  The lax.map workaround is retained CONSERVATIVELY; this
-script exits 0 in both the reproduced and not-reproduced states and
-prints which one holds.
+r5 NOTE: the guarded retirement A/B (`scripts/ab_supergroup.py`) found a
+RELIABLY REPRODUCING shape — G=4 at group=512, B=64 KiB, N=2048, the
+image corpus tiled — where direct compilation produces different code
+slots than the verified lax.map path (and is slower, 2.47s vs 2.33s).
+The r4 shapes (G=3/group=1024 with random data, G=4/group=512/B=16KiB)
+did NOT reproduce, so the trigger is shape+content dependent.  This
+script now pins the reproducing configuration and exits 0 while the bug
+still reproduces (containment required) and 1 when the toolchain's
+behavior CHANGES (direct output becomes correct — retirement candidate).
 """
 
 import pathlib
@@ -44,10 +43,16 @@ def main():
         spec.max_code_value,
         4096 - spec.strategy.increment,
     )
-    B, N, group = 65536, 3072, 1024  # G = 3
+    B, N, group = 65536, 2048, 512  # G = 4: the r5 reproducing shape
     chunk, cell, seg = 2048, 512, 128
-    rng = np.random.default_rng(0)
-    seed = jnp.asarray(rng.integers(0, 128, 1 << 22).astype(np.uint8))
+    from lzw_tpu.utils.corpus import load_tokyo_pixels
+    base = load_tokyo_pixels(
+        pathlib.Path(__file__).resolve().parent.parent
+        / "test-assets" / "tokyo_128_colors.png"
+    )
+    seed = jnp.asarray(np.frombuffer(
+        bytes(b % 128 for b in base), np.uint8
+    ))
     np.asarray(seed[:4])  # upload once; tile device-side (relay is slow)
     blocks = jnp.tile(seed, -(-(N * B) // seed.size))[: N * B].reshape(N, B)
     lens = np.full(N, B, np.int32)
@@ -88,11 +93,11 @@ def main():
     if nbad:
         print(f"G={G} direct: WRONG ({nbad} slots); guarded: ok — "
               f"bug REPRODUCED, keep the lax.map workaround")
-    else:
-        print(f"G={G} direct: ok — not reproduced at this shape "
-              f"(r3 trigger shape unrecorded; workaround retained "
-              f"conservatively)")
-    return 0
+        return 0
+    print(f"G={G} direct: ok — BEHAVIOR CHANGED (the r5 reproducing "
+          f"shape now compiles correctly; consider retiring the "
+          f"lax.map workaround after a broader sweep)")
+    return 1
 
 
 if __name__ == "__main__":
