@@ -211,7 +211,7 @@ def main() -> None:
 
             gspec = LzwSpec.gif(7)
             BV = 1 << 16
-            Nv = _ep.GROUP_CHUNKED
+            Nv = 2048  # 128 MiB workload (2 x GROUP_CHUNKED: one sliced execution)
             if Nv:
                 reps_v = -(-(Nv * BV) // (N * B))
                 flat = jnp.tile(db.reshape(-1), reps_v) if reps_v > 1 \

@@ -255,7 +255,7 @@ def bench_device_64k(spec, name, corpus_name, data, results, repeats=2):
     )
 
     B = 1 << 16
-    N = ep.GROUP_CHUNKED
+    N = 2048  # 128 MiB workload (r5: GROUP_CHUNKED dropped to 1024)
     hi = spec.max_code_value + 1
     base = np.frombuffer(bytes(b % hi for b in data), np.uint8)
     dup = jnp.asarray(base)
@@ -343,7 +343,7 @@ def bench_hybrid(spec, name, corpus_name, data, results, B, repeats=2):
     from lzw_tpu.native.runtime import get_runtime
 
     rt = get_runtime()
-    N = ep.GROUP_CHUNKED if B > 4096 else ep.GROUP
+    N = 2048 if B > 4096 else ep.GROUP
     hi = spec.max_code_value + 1
     base = np.frombuffer(bytes(b % hi for b in data), np.uint8)
     dup = jnp.asarray(base)

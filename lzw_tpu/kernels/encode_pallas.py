@@ -54,7 +54,9 @@ BLOCK_SIZE = 4096  # single-launch device block size (bytes); bigger blocks
 GROUP = 2048  # blocks per kernel instance (16 sublanes x 128 lanes; the
 # wider state tiles amortize the per-step dependent-chain latency, +6% over
 # 1024 on chip; decode keeps 1024 for VMEM headroom)
-GROUP_CHUNKED = 2048  # chunked path: one DMA-fed dense window fits 16 sublanes
+GROUP_CHUNKED = 1024  # chunked path instance (r5 sweep: 8 sublanes with the
+# G=2 pipeline beat 16 sublanes in one group by ~9%, and the finer grid
+# cell below by ~15% more; arbiter-verified vs the native decoder)
 CHUNK = 2048  # steps per launch of the chunked driver (the working table is
 # MAX_TABLE_SIZE + CHUNK rows; 2048 keeps it + the scan temporaries inside
 # VMEM at 16 sublanes, and measures within noise of 4096 on the corpora)
@@ -72,6 +74,10 @@ SSEG = 64  # stage-scan segment rows: the stage holds only rows [0, j) live
 CELL_STAGE = 256
 SEG_STAGE = 256
 SSEG_STAGE = 32
+CELL_CHUNK = 64  # chunked-driver grid cell (r5 sweep: 64 beats 512 by 23%
+# on var64k image encode — small stages keep the per-step stage scan and
+# append trivial; chunk=1024 and group=512 shapes MISCOMPILE, see
+# EVOLUTION.md r5 retirement section, and stay excluded)
 # Table hole: entry code fields are always >= 256 (first dynamic code), so a
 # zero word can never satisfy the range test below.
 HOLE = 0
@@ -1061,39 +1067,25 @@ def _run_encode_kernel_chunked(blocks, lens, block_size, spec_key, interpret,
     l = lens.reshape(G, 1, sub, 128)
     sseg = _clamp_sseg(sseg, cell)
 
-    # The scan+pallas pipeline MISCOMPUTES on hardware at G >= 3 (identical
-    # wrong output in every group; raw kernel slots verified correct
-    # un-jitted; the isolated compaction verified correct jitted — a
-    # shape-triggered XLA/relay compile issue, r3).  Run super-groups of at
-    # most SUPER_GROUP_MAX grid groups through lax.map: the per-iteration
-    # program is the G<=2 shape that is verified correct end-to-end on the
-    # chip.  (The r4 repro no longer fires at chip-feasible shapes; the
-    # serialization is retained pending the guarded retirement A/B.)
-    gmax = SUPER_GROUP_MAX
-    g0 = G if G <= gmax else max(
-        (g for g in range(1, gmax + 1) if G % g == 0)
+    # The scan+pallas pipeline MISCOMPUTES on hardware once one compiled
+    # program holds G >= 3 grid groups (r3) — and the r5 arbiter probes
+    # (scripts/ab_supergroup.py + native round-trip checks) showed the old
+    # lax.map "super-group" serialization does NOT contain it: lax.map
+    # inlines its body into the same XLA program, and map-wrapped G<=2
+    # bodies corrupt at 64 KiB just like direct G>=3 (N=4096/group=1024
+    # and group=512 both produced wrong bytes on every row; direct G<=2
+    # is byte-exact vs the native decoder).  True isolation needs separate
+    # XLA executables, so the PUBLIC entry points slice big batches into
+    # <= SUPER_GROUP_MAX-group calls OUTSIDE their jit
+    # (`_chunked_row_batches`); this driver only accepts safe shapes.
+    assert interpret or G <= SUPER_GROUP_MAX, (
+        "chunked encode compiled with G > SUPER_GROUP_MAX grid groups: "
+        "callers must slice batches outside jit (miscompile family #1)", G,
     )
-    if g0 == G:
-        codes, errs = _scan_chunks(
-            xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key, R,
-            total, interpret, eq16,
-        )
-    else:
-        nsg = G // g0
-        xs_m = xs.reshape(
-            n_chunks, nsg, g0, chunk, sub, 128
-        ).transpose(1, 0, 2, 3, 4, 5)
-        l_m = l.reshape(nsg, g0, 1, sub, 128)
-        codes_m, errs_m = jax.lax.map(
-            lambda a: _scan_chunks(
-                a[0], a[1], g0, sub, n_chunks, chunk, cell, seg, sseg,
-                spec_key, R, total, interpret, eq16,
-            ),
-            (xs_m, l_m),
-        )
-        codes = codes_m.reshape(G, total, sub, 128)
-        errs = errs_m.reshape(G, 8, sub, 128)
-
+    codes, errs = _scan_chunks(
+        xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key, R,
+        total, interpret, eq16,
+    )
     return _compact_grouped_codes(codes, errs, G, total, group, N)
 
 
@@ -1148,7 +1140,7 @@ def _scan_chunks(xs, l, G, sub, n_chunks, chunk, cell, seg, sseg, spec_key,
         )] * 2 if eq16 else []),                      # i16 eq-region planes
         input_output_aliases={3: 2, 4: 3},
         compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=(126 if eq16 else 110) * 1024 * 1024,
+            vmem_limit_bytes=126 * 1024 * 1024,
         ),
         interpret=interpret,
     )
@@ -1191,7 +1183,7 @@ def _stage_knobs(chunked: bool, compact, cell, seg, sseg):
     finer r5-tuned tiles; the chunked driver keeps the coarser config."""
     stage = (not chunked) and compact == "stage"
     if cell is None:
-        cell = CELL_STAGE if stage else CELL
+        cell = CELL_STAGE if stage else (CELL_CHUNK if chunked else CELL)
     if seg is None:
         seg = SEG_STAGE if stage else SEG
     if sseg is None:
@@ -1204,12 +1196,51 @@ def group_for(block_size: int) -> int:
     return GROUP if block_size <= BLOCK_SIZE else GROUP_CHUNKED
 
 
+def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
+                            little: bool = True, interpret: bool = False,
+                            group: int | None = None,
+                            cell: int | None = None,
+                            seg: int | None = None,
+                            compact: str | bool = "stage",
+                            chunk: int = CHUNK, sseg: int | None = None,
+                            chunked: bool | None = None,
+                            eq16: bool = False):
+    """Fixed-12-bit block-parallel encode on TPU (see the jitted worker
+    below for the contract).  This wrapper slices batches that would
+    compile more than SUPER_GROUP_MAX grid groups into SEPARATE jit
+    executions — lax.map/in-program splits do NOT contain the G>=3
+    chunked-scan miscompile (r5 arbiter find); only distinct XLA
+    executables do.  Dispatches are async, so slices still pipeline."""
+    if group is None:
+        group = group_for(block_size)
+    if chunked is None:
+        chunked = block_size > BLOCK_SIZE
+    N = blocks.shape[0]
+    lim = SUPER_GROUP_MAX * group
+    if chunked and N > lim:
+        parts = [
+            _encode_blocks_fixed_jit(
+                blocks[i : i + lim], lens[i : i + lim], block_size, little,
+                interpret, group, cell, seg, compact, chunk, sseg, chunked,
+                eq16,
+            )
+            for i in range(0, N, lim)
+        ]
+        return tuple(
+            jnp.concatenate(xs, axis=0) for xs in zip(*parts)
+        )
+    return _encode_blocks_fixed_jit(
+        blocks, lens, block_size, little, interpret, group, cell, seg,
+        compact, chunk, sseg, chunked, eq16,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("block_size", "little", "interpret", "group", "cell",
                      "seg", "compact", "chunk", "sseg", "chunked", "eq16"),
 )
-def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
+def _encode_blocks_fixed_jit(blocks, lens, block_size: int = BLOCK_SIZE,
                             little: bool = True, interpret: bool = False,
                             group: int | None = None,
                             cell: int | None = None,
@@ -1249,12 +1280,51 @@ def encode_blocks_fixed_tpu(blocks, lens, block_size: int = BLOCK_SIZE,
     return payloads, lengths
 
 
+def encode_blocks_variable_codes_tpu(blocks, lens, spec,
+                                     block_size: int = BLOCK_SIZE,
+                                     interpret: bool = False,
+                                     group: int | None = None,
+                                     cell: int | None = None,
+                                     seg: int | None = None,
+                                     compact: str | bool = "stage",
+                                     chunk: int = CHUNK,
+                                     sseg: int | None = None,
+                                     chunked: bool | None = None,
+                                     eq16: bool = False):
+    """Variable-flavor block encode (see the jitted worker below for the
+    contract).  Slices batches past SUPER_GROUP_MAX grid groups into
+    separate jit executions — the only isolation that actually contains
+    the G>=3 chunked-scan miscompile (r5 arbiter find)."""
+    if group is None:
+        group = group_for(block_size)
+    if chunked is None:
+        chunked = block_size > BLOCK_SIZE
+    N = blocks.shape[0]
+    lim = SUPER_GROUP_MAX * group
+    if chunked and N > lim:
+        parts = [
+            _encode_blocks_variable_jit(
+                blocks[i : i + lim], lens[i : i + lim], spec, block_size,
+                interpret, group, cell, seg, compact, chunk, sseg, chunked,
+                eq16,
+            )
+            for i in range(0, N, lim)
+        ]
+        return tuple(
+            jnp.concatenate(xs, axis=0) for xs in zip(*parts)
+        )
+    return _encode_blocks_variable_jit(
+        blocks, lens, spec, block_size, interpret, group, cell, seg,
+        compact, chunk, sseg, chunked, eq16,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("spec", "block_size", "interpret", "group", "cell",
                      "seg", "compact", "chunk", "sseg", "chunked", "eq16"),
 )
-def encode_blocks_variable_codes_tpu(blocks, lens, spec,
+def _encode_blocks_variable_jit(blocks, lens, spec,
                                      block_size: int = BLOCK_SIZE,
                                      interpret: bool = False,
                                      group: int | None = None,
@@ -1339,4 +1409,8 @@ def _encode_codes_jitted(spec, block_size, kw_items):
             blocks, lens, spec, block_size, **kw
         )
 
-    return jax.jit(f)
+    # NOT re-wrapped in jax.jit: the public wrapper slices big batches
+    # into separate executions precisely so that no single program holds
+    # G > SUPER_GROUP_MAX grid groups; an outer jit would inline the
+    # slices back into one program (r5 arbiter find).
+    return f

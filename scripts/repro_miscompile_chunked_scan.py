@@ -4,22 +4,26 @@ The chunked variable/fixed encoder carries its dictionary through a
 lax.scan over per-chunk pallas launches.  Compiled with G >= 3 grid
 groups in one program, the pipeline computes IDENTICAL WRONG output in
 every group on the chip (raw kernel slots verified correct un-jitted;
-interpret mode correct) — so production runs super-groups of <= 2 via
-lax.map (`encode_pallas._run_encode_kernel_chunked`).
+interpret mode correct) — so production slices batches into separate
+<= 2-group jit executions (`encode_pallas.encode_blocks_*`).
 
 This script calls the internal `_scan_chunks` directly at G = 4
 (bypassing the guard) and compares against the guarded production path
 on identical data.
 
-r5 NOTE: the guarded retirement A/B (`scripts/ab_supergroup.py`) found a
-RELIABLY REPRODUCING shape — G=4 at group=512, B=64 KiB, N=2048, the
-image corpus tiled — where direct compilation produces different code
-slots than the verified lax.map path (and is slower, 2.47s vs 2.33s).
-The r4 shapes (G=3/group=1024 with random data, G=4/group=512/B=16KiB)
-did NOT reproduce, so the trigger is shape+content dependent.  This
-script now pins the reproducing configuration and exits 0 while the bug
-still reproduces (containment required) and 1 when the toolchain's
-behavior CHANGES (direct output becomes correct — retirement candidate).
+r5 NOTE: the retirement A/B (`scripts/ab_supergroup.py`) + native-decoder
+arbiter found a RELIABLY REPRODUCING shape — G=4 at group=512, B=64 KiB,
+N=2048, the image corpus tiled — and also showed the old lax.map
+"containment" never contained (map inlines into the same XLA program;
+guarded group=512 and N=4096/group=1024 failed the arbiter on every
+row).  Production now slices batches into separate <= 2-group jit
+executions OUTSIDE jit (`encode_pallas.encode_blocks_*`), which the
+arbiter verifies byte-exact.  The r4 shapes (G=3/group=1024 random
+data, G=4/group=512/B=16KiB) did NOT reproduce, so the trigger is
+shape+content dependent.  This script pins the reproducing
+configuration and exits 0 while the bug still reproduces (containment
+required) and 1 when the toolchain's behavior CHANGES (direct output
+becomes correct — retirement candidate).
 """
 
 import pathlib
@@ -57,10 +61,12 @@ def main():
     blocks = jnp.tile(seed, -(-(N * B) // seed.size))[: N * B].reshape(N, B)
     lens = np.full(N, B, np.int32)
 
-    # Production (guarded) path: lax.map over super-groups of <= 2.
-    dense_ok, counts_ok, errs_ok, _ = ep._run_encode_kernel_chunked(
-        blocks, jnp.asarray(lens), B, spec_key,
-        False, group, cell, seg, chunk,
+    # Production (guarded) path: the public wrapper slices into separate
+    # <= 2-group jit executions (the r5 containment; the old lax.map
+    # super-groups turned out NOT to isolate the bug — see EVOLUTION.md).
+    dense_ok, counts_ok, errs_ok, _ = ep.encode_blocks_variable_codes_tpu(
+        blocks, jnp.asarray(lens), spec, B,
+        group=group, cell=cell, seg=seg, chunk=chunk,
     )
     ok_np = np.asarray(dense_ok)
     assert not np.asarray(errs_ok).any()
@@ -91,12 +97,12 @@ def main():
 
     nbad = int((g4_np != ok_np).sum())
     if nbad:
-        print(f"G={G} direct: WRONG ({nbad} slots); guarded: ok — "
-              f"bug REPRODUCED, keep the lax.map workaround")
+        print(f"G={G} direct: WRONG ({nbad} slots); sliced: ok — "
+              f"bug REPRODUCED, keep the separate-execution slicing")
         return 0
     print(f"G={G} direct: ok — BEHAVIOR CHANGED (the r5 reproducing "
           f"shape now compiles correctly; consider retiring the "
-          f"lax.map workaround after a broader sweep)")
+          f"batch slicing after a broader arbiter sweep)")
     return 1
 
 

@@ -343,3 +343,42 @@ def test_chunked_variable_dictionary_reset():
         d = mat[i].tobytes()
         got = payloads[i, : lengths[i]].tobytes()
         assert got == oracle.encode_bytes(d, spec), f"lane {i}"
+
+
+def test_chunked_wrapper_slices_into_separate_executions(monkeypatch):
+    """Batches past SUPER_GROUP_MAX grid groups must be sliced OUTSIDE the
+    jit into separate executions — lax.map / in-program splits do not
+    contain the G>=3 chunked-scan miscompile (r5 arbiter find)."""
+    import numpy as np
+
+    from lzw_tpu.kernels import encode_pallas as ep
+    from lzw_tpu.ops import reference as oracle
+    from lzw_tpu.kernels import schedule as sc
+
+    spec = LzwSpec.gif(7)
+    B = 8192  # > BLOCK_SIZE: chunked driver
+    group = 128
+    N = 512  # G = 4 > SUPER_GROUP_MAX -> two slices of 256
+    rng = np.random.default_rng(17)
+    blocks = rng.integers(0, 128, (N, B)).astype(np.uint8)
+    lens = np.full(N, B, np.int32)
+
+    calls = []
+    real = ep._encode_blocks_variable_jit
+
+    def spy(bl, ln, *a, **k):
+        calls.append(bl.shape[0])
+        return real(bl, ln, *a, **k)
+
+    monkeypatch.setattr(ep, "_encode_blocks_variable_jit", spy)
+    dense, counts, errs, _ = ep.encode_blocks_variable_codes_tpu(
+        blocks, lens, spec, B, interpret=True, group=group
+    )
+    assert calls == [256, 256], calls
+    assert not np.asarray(errs).any()
+    pay, nb = sc.pack_variable(
+        np.asarray(dense), np.asarray(counts), spec
+    )
+    for i in (0, 255, 256, 511):  # rows straddling the slice boundary
+        want = oracle.encode_bytes(blocks[i].tobytes(), spec)
+        assert bytes(pay[i, : nb[i]]) == want, f"row {i}"
