@@ -28,7 +28,12 @@ from lzw_tpu.utils.cache import enable_compilation_cache
 def main():
     enable_compilation_cache()
     spec = LzwSpec.gif(7)
-    B, N = 1 << 16, ep.GROUP_CHUNKED
+    # Pin the ORIGINAL r3 bug configuration (group 2048, chunked cell 512):
+    # the r5 production defaults moved to group 1024 / cell 64, which
+    # changes the traced program and no longer triggers — the repro tracks
+    # the documented shape, not whatever the current defaults are.
+    B, N = 1 << 16, 2048
+    kw = dict(group=2048, cell=512, seg=512, sseg=64, chunk=2048)
     rng = np.random.default_rng(0)
     seed = jnp.asarray(rng.integers(0, 128, 1 << 22).astype(np.uint8))
     np.asarray(seed[:4])
@@ -37,7 +42,7 @@ def main():
 
     def fused(b, l):
         dense, counts, errs, ec = ep.encode_blocks_variable_codes_tpu(
-            b, l, spec, B
+            b, l, spec, B, **kw
         )
         bufs, nb = sc.pack_variable_device(dense, counts, spec, fix_eoi=True)
         return bufs, nb
@@ -45,7 +50,9 @@ def main():
     bufs_f, nb_f = jax.jit(fused)(blocks, lens)
     f_np, nf_np = np.asarray(bufs_f), np.asarray(nb_f)
 
-    bufs_s, nb_s, _, _ = ep.encode_pack_variable_tpu(blocks, lens, spec, B)
+    bufs_s, nb_s, _, _ = ep.encode_pack_variable_tpu(
+        blocks, lens, spec, B, **kw
+    )
     s_np, ns_np = np.asarray(bufs_s), np.asarray(nb_s)
 
     same_len = (nf_np == ns_np).all()
