@@ -750,6 +750,52 @@ def _assemble_epochs(parts, cums, Bp: int, block_size: int, n_parts: int):
     return _assemble_epochs_t(acc, block_size)
 
 
+@functools.partial(jax.jit, static_argnames=("base", "W"),
+                   donate_argnums=(0,))
+def _acc_place_window(acc, part, cum, base: int, W: int):
+    """Add epoch part rows into ``acc[base:base+W]`` at per-lane offsets.
+
+    ``part`` is u8[N, R_e] rows left-aligned at column 0; row n's bytes
+    belong at global position ``cum[n]``.  All nonzero content fits the
+    ``[base, base+W)`` window (the caller sizes it from the pooled stats),
+    so the log-shift runs over W rows instead of the whole canvas — the
+    whole point vs :func:`_assemble_epochs_acc`.  Zero-te rows may carry
+    out-of-window cum values; their columns are all zero, so the clipped
+    shift is harmless.
+    """
+    from lzw_tpu.kernels.common import shift_columns_jax
+
+    N, R_e = part.shape
+    p = part.T
+    if R_e < W:
+        p = jnp.concatenate([p, jnp.zeros((W - R_e, N), jnp.uint8)], axis=0)
+    elif R_e > W:
+        p = p[:W]
+    delta = jnp.where(cum >= base, cum - base, 0).astype(jnp.int32)
+    sh = jnp.clip(delta, 0, W - 1)
+    win = shift_columns_jax(p, sh, fill=0)
+    return acc.at[base : base + W].add(win)
+
+
+def _assemble_epochs_windowed(parts, cums, windows, Bp: int,
+                              block_size: int):
+    """Windowed placement assembly (the pooled driver's tail).
+
+    ``windows[e]`` is ``(base, W)`` with base/W bucketed on the host from
+    the pooled stats pull — ``W == 0`` skips an empty epoch entirely.
+    Same two-dispatch split as :func:`_assemble_epochs` (shift families
+    must not fuse with the trailing transpose on this hardware).
+    """
+    N = parts[0].shape[0]
+    acc = jnp.zeros((Bp, N), jnp.uint8)
+    for e, p in enumerate(parts):
+        base, W = windows[e]
+        if W <= 0:
+            continue
+        acc = _acc_place_window(acc, p, cums[e], base, W)
+    return _assemble_epochs_t(acc, block_size)
+
+
 def decode_variable_epochs_run(payloads, counts, sched_arr, spec, S: int,
                                block_size: int, interpret: bool = False,
                                group: int = GROUP_VAR, cell: int = CELL,
@@ -838,7 +884,10 @@ def decode_variable_epochs_run(payloads, counts, sched_arr, spec, S: int,
 def _pool_sort_device(dense, pair, counts, te, bounds, L: int, batch: int):
     """Pool (block, epoch) unit columns and sort them by byte total, all on
     device — one fused program; returns the sorted unit tables, the inverse
-    permutation, and the per-batch maxima (the only values the host needs).
+    permutation, the per-block exclusive output offsets, and one stats
+    vector [batch maxima | epoch start minima | epoch end maxima] (the only
+    values the host needs, pulled in a single transfer: round counts for
+    pass 2 plus the placement windows for the assembly).
     """
     N = dense.shape[0]
     G1, Sp, sub1, _ = pair.shape
@@ -850,10 +899,21 @@ def _pool_sort_device(dense, pair, counts, te, bounds, L: int, batch: int):
     inv = jnp.argsort(order, stable=True).astype(jnp.int32)
     te_sorted = jnp.take(te_flat, order)
     batch_maxes = te_sorted[batch - 1 :: batch]
+    # Placement windows: nonzero units of epoch e land in
+    # [min cum, max cum+te) — zero-te units park at their block's tail and
+    # must not widen the window.
+    cum = jnp.cumsum(te, axis=1) - te
+    pos = te > 0
+    big = jnp.int32(1) << 30
+    start_min = jnp.min(jnp.where(pos, cum, big), axis=0)
+    end_max = jnp.max(jnp.where(pos, cum + te, 0), axis=0)
+    stats = jnp.concatenate(
+        [batch_maxes, start_min, end_max]
+    ).astype(jnp.int32)
     return (jnp.take(dense_u, order, axis=0),
             jnp.take(pair_u, order, axis=0),
             jnp.take(nloc_u, order, axis=0),
-            te_sorted, inv, batch_maxes)
+            te_sorted, inv, cum, stats)
 
 
 def _pool_units(dense_n, pair_n, counts, bounds, L: int):
@@ -917,13 +977,18 @@ def decode_variable_epochs_pooled(payloads, counts, sched_arr, spec, S: int,
     while U % batch and batch > group2:
         batch //= 2
 
-    # Sort + gathers run on device; the ONLY host sync is the per-batch
-    # maxima (U/batch i32 scalars, needed for the static round counts).
-    (dense_s, pair_s, nloc_s, te_sorted_dev, inv,
-     batch_maxes) = _pool_sort_device(
+    # Sort + gathers run on device; the ONLY host sync is one small stats
+    # vector (per-batch maxima for the static round counts + per-epoch
+    # placement windows for the assembly).
+    (dense_s, pair_s, nloc_s, te_sorted_dev, inv, cum,
+     stats_dev) = _pool_sort_device(
         dense, pair, cdev, te, bounds, L, batch,
     )
-    te_bm = np.asarray(batch_maxes)
+    stats_np = np.asarray(stats_dev)
+    n_bm = U // batch
+    te_bm = stats_np[:n_bm]
+    ep_start = stats_np[n_bm : n_bm + E]
+    ep_end = stats_np[n_bm + E : n_bm + 2 * E]
 
     g2 = min(group2, batch)
     outs = []
@@ -966,12 +1031,24 @@ def decode_variable_epochs_pooled(payloads, counts, sched_arr, spec, S: int,
             pool_parts.append(out_k)
     out_sorted = jnp.concatenate(pool_parts, axis=0)
     out_pool = jnp.take(out_sorted, inv, axis=0)
-    cum = jnp.cumsum(te, axis=1) - te  # exclusive per-block offsets
     parts = [out_pool[e * N : (e + 1) * N] for e in range(E)]
     cums = [cum[:, e] for e in range(E)]
     Bp = ((block_size + cell2 - 1) // cell2) * cell2
     Bp = max(Bp, Rmax)
-    out = _assemble_epochs(tuple(parts), tuple(cums), Bp, block_size, E)
+    # Placement windows, bucketed to 2048 rows for compile reuse; an empty
+    # epoch (no nonzero unit) is skipped outright.
+    windows = []
+    for e in range(E):
+        if ep_end[e] <= 0:
+            windows.append((0, 0))
+            continue
+        base = (int(ep_start[e]) // 2048) * 2048
+        W = -(-(int(ep_end[e]) - base) // 2048) * 2048
+        W = min(W, Bp - base)
+        windows.append((base, W))
+    out = _assemble_epochs_windowed(
+        tuple(parts), tuple(cums), tuple(windows), Bp, block_size
+    )
     return out, totals, errs, err_codes, data_ok
 
 

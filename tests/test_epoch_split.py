@@ -150,6 +150,43 @@ class TestStride2:
             assert outs[True][0][i, : outs[True][1][i]].tobytes() == d
             assert (outs[True][0][i] == outs[False][0][i]).all()
 
+    def test_variable_pooled_matches_oracle(self):
+        # The sorted-pool driver (bench/container path): mixed block
+        # sizes so units spread across size-sorted batches, plus the
+        # windowed placement assembly's edge cases (empty trailing
+        # epochs, partial last epochs, zero-te units parked mid-pool).
+        from lzw_tpu.ops import reference as oracle
+
+        spec = LzwSpec.gif(7)
+        rng = np.random.default_rng(24)
+        datas = [
+            rng.integers(0, 128, size=int(n)).astype(np.uint8).tobytes()
+            for n in rng.integers(1, 2000, 5)
+        ] + [b"k" * 2048, (b"pq" * 1024)[:2047], bytes([1])]
+        pls = [oracle.encode_bytes(d, spec) for d in datas]
+        N = 128
+        pb = max(len(p) for p in pls)
+        payloads = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        for i, p in enumerate(pls):
+            payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        counts, strict, sched_arr, S = dp.prepare_variable_decode(
+            payloads, plens, spec
+        )
+        assert strict[: len(datas)].all()
+        out, tot, errs, _, _ok = dp.decode_variable_epochs_pooled(
+            payloads, counts, sched_arr, spec, S, 2048,
+            interpret=True, group=128, cell=64, seg=64, group2=128,
+            seg2=64, batch=128,
+        )
+        out, tot = np.asarray(out), np.asarray(tot)
+        assert not np.asarray(errs)[: len(datas)].any()
+        for i, d in enumerate(datas):
+            assert tot[i] == len(d), f"block {i}"
+            assert out[i, : tot[i]].tobytes() == d, f"block {i}"
+        assert (out[len(datas):] == 0).all()
+
     def test_variable_stride2_multi_epoch(self):
         # A stream crossing a CLEAR reset: per-epoch units, stride-2 walk.
         from lzw_tpu.ops import reference as oracle
