@@ -635,7 +635,7 @@ def decode_variable_device_run(payloads, counts, sched_arr, spec, S: int,
 def decode_variable_all_device(payloads, plens, spec, block_size: int,
                                interpret: bool = False,
                                group: int = GROUP_VAR, cell: int = CELL,
-                               seg: int = 128, group2: int = 1024,
+                               seg: int = 128, group2: int = 2048,
                                seg2: int = 32, epoch_split: bool = True,
                                pooled: bool = True):
     """Whole variable-flavor decode on the chip (strict streams).
@@ -939,7 +939,7 @@ def decode_variable_epochs_pooled(payloads, counts, sched_arr, spec, S: int,
                                   block_size: int, interpret: bool = False,
                                   group: int = GROUP_VAR, cell: int = CELL,
                                   seg: int = 128, cell2: int = CELL,
-                                  seg2: int = 32, group2: int = 1024,
+                                  seg2: int = 32, group2: int = 2048,
                                   batch: int = 2048):
     """Sorted-pool epoch-split decode (r5 default on hardware).
 
@@ -973,8 +973,8 @@ def decode_variable_epochs_pooled(payloads, counts, sched_arr, spec, S: int,
     L0 = max(b - a for (a, b) in bounds)
     L = ((L0 + seg2 - 1) // seg2) * seg2
     U = E * N
-    batch = max(group2, min(batch, U))
-    while U % batch and batch > group2:
+    batch = min(max(group2, min(batch, U)), U)
+    while U % batch and batch > 128:
         batch //= 2
 
     # Sort + gathers run on device; the ONLY host sync is one small stats

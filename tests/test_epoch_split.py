@@ -187,6 +187,35 @@ class TestStride2:
             assert out[i, : tot[i]].tobytes() == d, f"block {i}"
         assert (out[len(datas):] == 0).all()
 
+    def test_variable_pooled_small_batch_defaults(self):
+        # N=128 with the DEFAULT pooled knobs: U = E*N can be smaller
+        # than the default batch size, which must clamp to U instead of
+        # producing zero batches (an all-zero "decode").
+        from lzw_tpu.ops import reference as oracle
+
+        spec = LzwSpec.gif(7)
+        rng = np.random.default_rng(25)
+        datas = [
+            rng.integers(0, 128, size=int(n)).astype(np.uint8).tobytes()
+            for n in rng.integers(1, 400, 4)
+        ]
+        pls = [oracle.encode_bytes(d, spec) for d in datas]
+        N = 128
+        pb = max(len(p) for p in pls)
+        payloads = np.zeros((N, pb), np.uint8)
+        plens = np.zeros(N, np.int32)
+        for i, p in enumerate(pls):
+            payloads[i, : len(p)] = np.frombuffer(p, np.uint8)
+            plens[i] = len(p)
+        out, tot, errs, _, strict = dp.decode_variable_all_device(
+            payloads, plens, spec, 512, interpret=True,
+        )
+        assert strict[: len(datas)].all()
+        assert not np.asarray(errs)[: len(datas)].any()
+        out, tot = np.asarray(out), np.asarray(tot)
+        for i, d in enumerate(datas):
+            assert tot[i] == len(d) and out[i, : tot[i]].tobytes() == d, i
+
     def test_variable_stride2_multi_epoch(self):
         # A stream crossing a CLEAR reset: per-epoch units, stride-2 walk.
         from lzw_tpu.ops import reference as oracle
