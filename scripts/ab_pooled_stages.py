@@ -4,6 +4,12 @@ Fenced stage attribution distorts pipelining, so it is reported alongside a
 clean A/B: default pooled decode vs a variant whose per-batch maxima are
 precomputed (row rolls permute units but not the sorted maxima, so the
 cached values stay exact) — isolating the mid-decode host round-trip.
+
+NOTE: this script replicates the PRE-windowed-assembly tail (Rmax-padded
+inverse gather + full-canvas epoch accumulation) — it is the measurement
+that motivated `_assemble_epochs_windowed` (EVOLUTION.md r5 "windowed
+placement assembly") and is kept as that record; the shipped driver's
+tail is now the windowed one.
 Usage: python scripts/ab_pooled_stages.py [image|text] [N]
 """
 
