@@ -1019,18 +1019,22 @@ def decode_variable_epochs_pooled(payloads, counts, sched_arr, spec, S: int,
     if Rmax == 0:
         out = jnp.zeros((N, block_size), jnp.uint8)
         return out, totals, errs, err_codes, data_ok
+    # All-zero batches are a PREFIX of the sorted order (batch maxima are
+    # nondecreasing); elide them from the gather source — one shared zero
+    # row stands in for all their units.
+    nz0 = next(k for k, w in enumerate(widths) if w > 0)
+    assert all(w > 0 for w in widths[nz0:]), "sorted maxima must ascend"
+    Z = nz0 * batch
     pool_parts = []
-    for k, out_k in enumerate(outs):
-        if out_k is None:
-            pool_parts.append(jnp.zeros((batch, Rmax), jnp.uint8))
-        elif out_k.shape[1] < Rmax:
-            pool_parts.append(
-                jnp.pad(out_k, ((0, 0), (0, Rmax - out_k.shape[1])))
-            )
-        else:
-            pool_parts.append(out_k)
+    for out_k in outs[nz0:]:
+        if out_k.shape[1] < Rmax:
+            out_k = jnp.pad(out_k, ((0, 0), (0, Rmax - out_k.shape[1])))
+        pool_parts.append(out_k)
+    if Z:
+        pool_parts.insert(0, jnp.zeros((1, Rmax), jnp.uint8))
     out_sorted = jnp.concatenate(pool_parts, axis=0)
-    out_pool = jnp.take(out_sorted, inv, axis=0)
+    idx = jnp.maximum(inv - (Z - 1), 0) if Z else inv
+    out_pool = jnp.take(out_sorted, idx, axis=0)
     parts = [out_pool[e * N : (e + 1) * N] for e in range(E)]
     cums = [cum[:, e] for e in range(E)]
     Bp = ((block_size + cell2 - 1) // cell2) * cell2
